@@ -1,0 +1,22 @@
+"""dgcnn_tpu — TPU-native (JAX/XLA/Pallas/pjit) framework with the capabilities of
+QasimKhan5x/dgcnn.pytorch.
+
+A ground-up rebuild, not a port: point clouds are channels-last ``(B, N, C)``
+(TPU lane-friendly), EdgeConv is a fused gather/reduce that never materializes
+the ``(B, 2C, N, k)`` edge tensor the reference builds
+(reference: models/dgcnn.py:15-44), the HOG branch's CPU LAPACK SVD round-trip
+(reference: models/model_partseg.py:36-47) is replaced by an on-device
+closed-form 3x3 eigendecomposition, and DDP/NCCL (main_partseg_dist.py) is
+replaced by jax.sharding over a device mesh.
+
+Subpackages:
+  ops       core point-cloud kernels (knn, graph features, edge conv, HOG)
+  models    flax.linen model zoo (DGCNN cls/partseg/semseg, fusion Net, transformers)
+  data      datasets, loaders, augmentations, S3DIS ETL
+  train     loss, metrics, optimizers/schedules, train/eval engines, checkpointing
+  parallel  device mesh + sharded train steps (data parallel, cross-replica BN)
+  convert   torch checkpoint -> JAX parameter conversion
+  utils     logging, visualization writers
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,257 @@
+"""DGCNN model family, channels-last flax.linen.
+
+* ``DGCNN`` — the fork's 4-block backbone (reference models/dgcnn.py:47-103).
+* ``DGCNNCls`` / ``PointNet`` / ``DGCNNPartSeg`` / ``DGCNNSemSeg`` /
+  ``TransformNet`` — the canonical architectures whose imports dangle in the
+  fork (SURVEY.md §2 #35; main_cls.py:25, main_semseg.py:20) — restored from
+  the README descriptions (README.md:10, 236) and test.ipynb cells 8-9.
+
+Every EdgeConv recomputes the kNN graph in feature space (the "dynamic" graph)
+and runs through the fused gather/reduce kernels in ops/edge_conv.py.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dgcnn_tpu.models.nn_layers import (
+    BatchNorm,
+    ConvBN,
+    DenseBNReLU,
+    EdgeConv,
+    leaky_relu,
+)
+from dgcnn_tpu.ops.knn import knn
+
+
+class DGCNN(nn.Module):
+    """The fork's backbone: EdgeConv 6->64->64->128->256, concat -> conv5 to
+    ``emb_dims`` per point (reference models/dgcnn.py:47-103).
+
+    Input (B, N, 3) -> output (B, N, emb_dims).
+    """
+
+    emb_dims: int = 512
+    k: int = 32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        ax = self.axis_name
+        x1 = EdgeConv(64, axis_name=ax, name="conv1")(x, knn(x, self.k), train)
+        x2 = EdgeConv(64, axis_name=ax, name="conv2")(x1, knn(x1, self.k), train)
+        x3 = EdgeConv(128, axis_name=ax, name="conv3")(x2, knn(x2, self.k), train)
+        x4 = EdgeConv(256, axis_name=ax, name="conv4")(x3, knn(x3, self.k), train)
+        cat = jnp.concatenate([x1, x2, x3, x4], axis=-1)  # (B, N, 512)
+        return ConvBN(self.emb_dims, axis_name=ax, name="conv5")(cat, train)
+
+
+class TransformNet(nn.Module):
+    """Spatial transformer predicting a 3x3 alignment matrix
+    (test.ipynb cell 8 / upstream Transform_Net; shared trunk with the fork's
+    PositionEmbedding, reference models/layers.py:8-39).
+
+    Input: per-edge features (B, N, k, 6) of the xyz graph.  Output: (B, 3, 3).
+    Final layer init: weight 0, bias identity (reference layers.py:38-39).
+    """
+
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, edge_feat: jax.Array, train: bool = False) -> jax.Array:
+        ax = self.axis_name
+        t = ConvBN(64, axis_name=ax, name="conv1")(edge_feat, train)
+        t = ConvBN(128, axis_name=ax, name="conv2")(t, train)
+        t = jnp.max(t, axis=2)                      # max over k -> (B, N, 128)
+        t = ConvBN(1024, axis_name=ax, name="conv3")(t, train)
+        t = jnp.max(t, axis=1)                      # max over N -> (B, 1024)
+        t = DenseBNReLU(512, axis_name=ax, name="linear1")(t, train)
+        t = DenseBNReLU(256, axis_name=ax, name="linear2")(t, train)
+        t = nn.Dense(
+            9,
+            kernel_init=nn.initializers.zeros,
+            bias_init=lambda *_: jnp.eye(3).reshape(9),
+            name="transform",
+        )(t)
+        return t.reshape(t.shape[0], 3, 3)
+
+
+class PositionEmbedding(nn.Module):
+    """The fork's TNet-style canonicalizer (reference models/layers.py:8-74):
+    TransformNet trunk, then applies the 3x3 to the cloud and returns the
+    transformed xyz (B, N, 3)."""
+
+    k: int = 32
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        from dgcnn_tpu.ops.graph import edge_features
+
+        idx = knn(x, self.k)
+        e = edge_features(x, idx)                   # (B, N, k, 6)
+        t = TransformNet(axis_name=self.axis_name, name="tnet")(e, train)
+        return jnp.einsum(
+            "bnc,bcd->bnd", x, t, precision=jax.lax.Precision.HIGHEST
+        )
+
+
+class DGCNNCls(nn.Module):
+    """Canonical classification network (README.md:80-88 results; upstream
+    model.py DGCNN_cls): EdgeConv 6->64, 128->64, 128->128, 256->256; conv5 to
+    emb_dims; global max+avg pool concat; Linear 512 -> 256 -> classes."""
+
+    emb_dims: int = 1024
+    k: int = 20
+    dropout: float = 0.5
+    output_channels: int = 40
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        ax = self.axis_name
+        x1 = EdgeConv(64, axis_name=ax, name="conv1")(x, knn(x, self.k), train)
+        x2 = EdgeConv(64, axis_name=ax, name="conv2")(x1, knn(x1, self.k), train)
+        x3 = EdgeConv(128, axis_name=ax, name="conv3")(x2, knn(x2, self.k), train)
+        x4 = EdgeConv(256, axis_name=ax, name="conv4")(x3, knn(x3, self.k), train)
+        cat = jnp.concatenate([x1, x2, x3, x4], axis=-1)
+        h = ConvBN(self.emb_dims, axis_name=ax, name="conv5")(cat, train)
+        pooled = jnp.concatenate(
+            [jnp.max(h, axis=1), jnp.mean(h, axis=1)], axis=-1
+        )  # (B, 2*emb)
+        h = DenseBNReLU(512, axis_name=ax, name="linear1")(pooled, train)
+        h = nn.Dropout(self.dropout, deterministic=not train, name="dp1")(h)
+        h = nn.Dense(256, name="linear2")(h)
+        h = BatchNorm(axis_name=ax, name="bn7")(h, train)
+        h = leaky_relu(h, 0.2)
+        h = nn.Dropout(self.dropout, deterministic=not train, name="dp2")(h)
+        return nn.Dense(self.output_channels, name="linear3")(h)
+
+
+class PointNet(nn.Module):
+    """Canonical PointNet baseline (upstream model.py; main_cls.py:54):
+    per-point Conv 3->64->64->64->128->emb with BN+ReLU, global max pool,
+    Linear 512 (BN+ReLU+Dropout) -> classes."""
+
+    emb_dims: int = 1024
+    dropout: float = 0.5
+    output_channels: int = 40
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        ax = self.axis_name
+        for i, feat in enumerate([64, 64, 64, 128, self.emb_dims], start=1):
+            x = nn.Dense(feat, use_bias=False, name=f"conv{i}")(x)
+            x = BatchNorm(axis_name=ax, name=f"bn{i}")(x, train)
+            x = nn.relu(x)
+        x = jnp.max(x, axis=1)                      # adaptive max pool over N
+        x = nn.Dense(512, use_bias=False, name="linear1")(x)
+        x = BatchNorm(axis_name=ax, name="bn6")(x, train)
+        x = nn.relu(x)
+        x = nn.Dropout(self.dropout, deterministic=not train, name="dp1")(x)
+        return nn.Dense(self.output_channels, name="linear2")(x)
+
+
+class DGCNNPartSeg(nn.Module):
+    """Canonical part-segmentation network (README.md:139-147 results;
+    upstream model.py DGCNN_partseg): TransformNet alignment, three EdgeConv
+    stages (two convs, two convs, one conv), 1024-d global feature + 64-d
+    category label embedding, per-point MLP 256->256->128->seg classes."""
+
+    emb_dims: int = 1024
+    k: int = 40
+    dropout: float = 0.5
+    seg_num_all: int = 50
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, label_one_hot: jax.Array, train: bool = False
+    ) -> jax.Array:
+        from dgcnn_tpu.ops.graph import edge_features
+
+        ax = self.axis_name
+        b, n, _ = x.shape
+        idx = knn(x, self.k)
+        e = edge_features(x, idx)
+        t = TransformNet(axis_name=ax, name="transform_net")(e, train)
+        x = jnp.einsum("bnc,bcd->bnd", x, t, precision=jax.lax.Precision.HIGHEST)
+
+        idx = knn(x, self.k)
+        h = EdgeConv(64, pool=False, axis_name=ax, name="conv1")(x, idx, train)
+        h = ConvBN(64, axis_name=ax, name="conv2")(h, train)
+        x1 = jnp.max(h, axis=2)
+
+        idx = knn(x1, self.k)
+        h = EdgeConv(64, pool=False, axis_name=ax, name="conv3")(x1, idx, train)
+        h = ConvBN(64, axis_name=ax, name="conv4")(h, train)
+        x2 = jnp.max(h, axis=2)
+
+        idx = knn(x2, self.k)
+        x3 = EdgeConv(64, axis_name=ax, name="conv5")(x2, idx, train)
+
+        cat = jnp.concatenate([x1, x2, x3], axis=-1)          # (B, N, 192)
+        g = ConvBN(self.emb_dims, axis_name=ax, name="conv6")(cat, train)
+        g = jnp.max(g, axis=1)                                # (B, emb)
+
+        lbl = ConvBN(64, axis_name=ax, name="conv7")(
+            label_one_hot[:, None, :], train
+        )[:, 0]                                               # (B, 64)
+        g = jnp.concatenate([g, lbl], axis=-1)                # (B, emb+64)
+        g = jnp.broadcast_to(g[:, None, :], (b, n, g.shape[-1]))
+
+        h = jnp.concatenate([g, cat], axis=-1)                # (B, N, emb+256)
+        h = ConvBN(256, axis_name=ax, name="conv8")(h, train)
+        h = nn.Dropout(self.dropout, deterministic=not train, name="dp1")(h)
+        h = ConvBN(256, axis_name=ax, name="conv9")(h, train)
+        h = nn.Dropout(self.dropout, deterministic=not train, name="dp2")(h)
+        h = ConvBN(128, axis_name=ax, name="conv10")(h, train)
+        return nn.Dense(self.seg_num_all, use_bias=False, name="conv11")(h)
+
+
+class DGCNNSemSeg(nn.Module):
+    """Canonical semantic-segmentation network (README.md:236 description;
+    upstream model.py DGCNN_semseg): 9-channel input blocks, kNN over the
+    normalized-xyz channels (6:9) for the first graph, EdgeConv x3, 1024-d
+    global feature, per-point MLP 512->256->13, one dropout."""
+
+    emb_dims: int = 1024
+    k: int = 20
+    dropout: float = 0.5
+    num_classes: int = 13
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        from dgcnn_tpu.ops.graph import edge_features
+
+        ax = self.axis_name
+        b, n, _ = x.shape
+        # first graph: neighbours by normalized room coords (channels 6:9)
+        idx = knn(x[..., 6:9], self.k)
+        h = EdgeConv(64, pool=False, axis_name=ax, name="conv1")(x, idx, train)
+        h = ConvBN(64, axis_name=ax, name="conv2")(h, train)
+        x1 = jnp.max(h, axis=2)
+
+        idx = knn(x1, self.k)
+        h = EdgeConv(64, pool=False, axis_name=ax, name="conv3")(x1, idx, train)
+        h = ConvBN(64, axis_name=ax, name="conv4")(h, train)
+        x2 = jnp.max(h, axis=2)
+
+        idx = knn(x2, self.k)
+        x3 = EdgeConv(64, axis_name=ax, name="conv5")(x2, idx, train)
+
+        cat = jnp.concatenate([x1, x2, x3], axis=-1)          # (B, N, 192)
+        g = ConvBN(self.emb_dims, axis_name=ax, name="conv6")(cat, train)
+        g = jnp.max(g, axis=1, keepdims=True)                 # (B, 1, emb)
+        g = jnp.broadcast_to(g, (b, n, g.shape[-1]))
+
+        h = jnp.concatenate([g, cat], axis=-1)                # (B, N, emb+192)
+        h = ConvBN(512, axis_name=ax, name="conv7")(h, train)
+        h = ConvBN(256, axis_name=ax, name="conv8")(h, train)
+        h = nn.Dropout(self.dropout, deterministic=not train, name="dp1")(h)
+        return nn.Dense(self.num_classes, use_bias=False, name="conv9")(h)

@@ -1,0 +1,161 @@
+"""Building-block flax.linen layers with torch-compatible semantics.
+
+Everything is channels-last.  A 1x1 Conv1d/Conv2d in the reference is a Dense
+over the trailing feature axis here (same math, MXU-friendly layout).
+
+BatchNorm follows torch exactly: eps 1e-5, running stats updated with
+``(1-m)*old + m*batch`` (m=0.1), *unbiased* batch variance in the running
+update but *biased* variance for normalization (torch.nn.BatchNorm semantics).
+Cross-replica statistics (the reference's SyncBatchNorm,
+main_partseg_dist.py:189) come for free under pjit/GSPMD because the batch
+axis reduction is global; under shard_map pass ``axis_name`` for an explicit
+pmean.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dgcnn_tpu.ops import edge_conv
+from dgcnn_tpu.ops.graph import gather_neighbors
+
+
+def leaky_relu(x: jax.Array, negative_slope: float = 0.2) -> jax.Array:
+    return jnp.where(x >= 0, x, negative_slope * x)
+
+
+class BatchNorm(nn.Module):
+    """Torch-semantics batch normalization over all non-feature axes."""
+
+    momentum: float = 0.1  # torch convention: new = (1-m)*old + m*batch
+    eps: float = 1e-5
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,))
+        bias = self.param("bias", nn.initializers.zeros, (features,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
+        )
+        if train:
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x, axis=axes)
+            mean2 = jnp.mean(jnp.square(x), axis=axes)
+            n = 1
+            for a in axes:
+                n *= x.shape[a]
+            if self.axis_name is not None:
+                mean = jax.lax.pmean(mean, self.axis_name)
+                mean2 = jax.lax.pmean(mean2, self.axis_name)
+                n *= jax.lax.psum(1, self.axis_name)
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                unbiased = var * (n / max(n - 1, 1))
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        return y * scale + bias
+
+
+class ConvBN(nn.Module):
+    """Dense (1x1 conv) + BatchNorm + LeakyReLU — the reference's ubiquitous
+    Conv{1,2}d/BN/LeakyReLU sandwich (e.g. models/dgcnn.py:54-78)."""
+
+    features: int
+    negative_slope: float = 0.2
+    use_bias: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = nn.Dense(self.features, use_bias=self.use_bias, name="conv")(x)
+        x = BatchNorm(axis_name=self.axis_name, name="bn")(x, train)
+        return leaky_relu(x, self.negative_slope)
+
+
+class EdgeConv(nn.Module):
+    """Fused EdgeConv block: 1x1 conv over [neighbour, centre] edge features +
+    BN + LeakyReLU + max over k (reference models/dgcnn.py:84-98), executed via
+    the factorized kernels in ops/edge_conv.py (never materializes the edge
+    tensor when ``pool=True``).
+
+    Parameters ``w_nbr``/``w_ctr`` are the split halves of the reference
+    Conv2d weight (concat order [neighbour, centre]).
+    """
+
+    features: int
+    negative_slope: float = 0.2
+    pool: bool = True  # max over k; False keeps per-edge output (B,N,k,Co)
+    momentum: float = 0.1
+    eps: float = 1e-5
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, idx: jax.Array, train: bool = False) -> jax.Array:
+        in_feat = x.shape[-1]
+        init = nn.initializers.lecun_normal()
+        w_nbr = self.param("w_nbr", init, (in_feat, self.features))
+        w_ctr = self.param("w_ctr", init, (in_feat, self.features))
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((self.features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
+        )
+
+        if train:
+            mean, var = edge_conv.edge_conv_batch_stats(x, idx, w_nbr, w_ctr)
+            if self.axis_name is not None:
+                e2 = jax.lax.pmean(var + jnp.square(mean), self.axis_name)
+                mean = jax.lax.pmean(mean, self.axis_name)
+                var = jnp.maximum(e2 - jnp.square(mean), 0.0)
+            if not self.is_initializing():
+                b, n = x.shape[0], x.shape[1]
+                k = idx.shape[-1]
+                cnt = b * n * k
+                if self.axis_name is not None:
+                    cnt *= jax.lax.psum(1, self.axis_name)
+                m = self.momentum
+                unbiased = var * (cnt / max(cnt - 1, 1))
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        s, t = edge_conv.fold_bn(scale, bias, mean, var, self.eps)
+        if self.pool:
+            return edge_conv.edge_conv_fused(
+                x, idx, w_nbr, w_ctr, s, t, self.negative_slope
+            )
+        z = edge_conv.edge_linear(x, idx, w_nbr, w_ctr)
+        y = z * s + t
+        return leaky_relu(y, self.negative_slope)
+
+
+class DenseBNReLU(nn.Module):
+    """Linear + BatchNorm1d + LeakyReLU for (B, C) activations
+    (reference models/layers.py:28-35)."""
+
+    features: int
+    negative_slope: float = 0.2
+    use_bias: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = nn.Dense(self.features, use_bias=self.use_bias, name="linear")(x)
+        x = BatchNorm(axis_name=self.axis_name, name="bn")(x, train)
+        return leaky_relu(x, self.negative_slope)

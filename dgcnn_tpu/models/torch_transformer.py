@@ -1,0 +1,168 @@
+"""Faithful functional equivalent of ``torch.nn.Transformer`` /
+``torch.nn.MultiheadAttention`` (the modules the fork's ``Net`` instantiates at
+reference models/model_partseg.py:167-171), in channels-last flax.linen.
+
+Semantics matched: batch_first layout, post-LayerNorm residual blocks
+(norm_first=False), packed qkv input projection + output projection with bias,
+dropout on attention weights and residual branches, final LayerNorm after both
+encoder and decoder stacks, LeakyReLU(0.2) feed-forward activation (the
+reference passes ``activation=nn.LeakyReLU(0.2)``).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dgcnn_tpu.models.nn_layers import leaky_relu
+
+
+class TorchMultiheadAttention(nn.Module):
+    """torch.nn.MultiheadAttention(batch_first=True) equivalent: packed
+    in-projection (3E x E weight + 3E bias) and out-projection with bias."""
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jax.Array,
+        key: jax.Array,
+        value: jax.Array,
+        train: bool = False,
+    ) -> jax.Array:
+        e, h = self.embed_dim, self.num_heads
+        assert e % h == 0
+        d = e // h
+        b, nq, _ = query.shape
+
+        w_in = self.param(
+            "in_proj_weight",
+            nn.initializers.xavier_uniform(),
+            (3 * e, e),
+        )
+        b_in = self.param("in_proj_bias", nn.initializers.zeros, (3 * e,))
+        q = query @ w_in[:e].T + b_in[:e]
+        k = key @ w_in[e : 2 * e].T + b_in[e : 2 * e]
+        v = value @ w_in[2 * e :].T + b_in[2 * e :]
+
+        def heads(x):
+            return x.reshape(b, -1, h, d).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
+            jnp.asarray(d, q.dtype)
+        )
+        attn = jax.nn.softmax(scores, axis=-1)
+        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, nq, e)
+        return nn.Dense(e, name="out_proj")(out)
+
+
+class _FeedForward(nn.Module):
+    d_model: int
+    dim_feedforward: int
+    dropout: float
+    negative_slope: float = 0.2
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        x = leaky_relu(x, self.negative_slope)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return nn.Dense(self.d_model, name="linear2")(x)
+
+
+class TorchTransformerEncoderLayer(nn.Module):
+    d_model: int
+    nhead: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        sa = TorchMultiheadAttention(
+            self.d_model, self.nhead, self.dropout, name="self_attn"
+        )(x, x, x, train)
+        x = nn.LayerNorm(name="norm1")(
+            x + nn.Dropout(self.dropout, deterministic=not train)(sa)
+        )
+        ff = _FeedForward(
+            self.d_model, self.dim_feedforward, self.dropout, name="ff"
+        )(x, train)
+        return nn.LayerNorm(name="norm2")(
+            x + nn.Dropout(self.dropout, deterministic=not train)(ff)
+        )
+
+
+class TorchTransformerDecoderLayer(nn.Module):
+    d_model: int
+    nhead: int
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self, x: jax.Array, memory: jax.Array, train: bool = False
+    ) -> jax.Array:
+        sa = TorchMultiheadAttention(
+            self.d_model, self.nhead, self.dropout, name="self_attn"
+        )(x, x, x, train)
+        x = nn.LayerNorm(name="norm1")(
+            x + nn.Dropout(self.dropout, deterministic=not train)(sa)
+        )
+        ca = TorchMultiheadAttention(
+            self.d_model, self.nhead, self.dropout, name="multihead_attn"
+        )(x, memory, memory, train)
+        x = nn.LayerNorm(name="norm2")(
+            x + nn.Dropout(self.dropout, deterministic=not train)(ca)
+        )
+        ff = _FeedForward(
+            self.d_model, self.dim_feedforward, self.dropout, name="ff"
+        )(x, train)
+        return nn.LayerNorm(name="norm3")(
+            x + nn.Dropout(self.dropout, deterministic=not train)(ff)
+        )
+
+
+class TorchTransformer(nn.Module):
+    """torch.nn.Transformer equivalent (encoder-decoder, post-norm, final
+    LayerNorms), matching the fork's instantiation
+    (reference model_partseg.py:167-170)."""
+
+    d_model: int = 512
+    nhead: int = 8
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    dim_feedforward: int = 2048
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(
+        self, src: jax.Array, tgt: jax.Array, train: bool = False
+    ) -> jax.Array:
+        mem = src
+        for i in range(self.num_encoder_layers):
+            mem = TorchTransformerEncoderLayer(
+                self.d_model,
+                self.nhead,
+                self.dim_feedforward,
+                self.dropout,
+                name=f"encoder_layer_{i}",
+            )(mem, train)
+        mem = nn.LayerNorm(name="encoder_norm")(mem)
+        out = tgt
+        for i in range(self.num_decoder_layers):
+            out = TorchTransformerDecoderLayer(
+                self.d_model,
+                self.nhead,
+                self.dim_feedforward,
+                self.dropout,
+                name=f"decoder_layer_{i}",
+            )(out, mem, train)
+        return nn.LayerNorm(name="decoder_norm")(out)

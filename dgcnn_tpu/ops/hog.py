@@ -1,0 +1,137 @@
+"""3D histogram-of-oriented-gradients, fully on device.
+
+Reimplements the reference ``compute_hog_1x1`` (models/model_partseg.py:15-92)
+without its two performance sinks: the batched ``np.linalg.svd`` on host (a
+device->CPU->device round-trip every step) and the Python loop over 9 bins.
+The per-point principal direction comes from the closed-form 3x3
+eigendecomposition of the neighbourhood covariance (ops/eig3.py); the soft
+bin-voting loop becomes a one-hot einsum.
+
+Semantics mirror the reference exactly except for the eigenvector sign, which
+LAPACK leaves algorithm-defined and we fix deterministically (largest-magnitude
+component non-negative).  The reference's azimuth NaN when g_x == 0
+(model_partseg.py:59-60) is reproduced as-is (measure-zero on real data).
+
+Reference bugs (documented deviation, SURVEY.md §7 quirk policy):
+``compute_hog_1x1`` gathers neighbourhood points via
+``x.view(B*N, -1)[nn_idx]`` on a (B, 3, N) tensor *without* the transpose that
+``get_graph_feature`` performs (dgcnn.py:31-33) and *without* the per-batch
+``idx_base`` offset — so the gathered "points" are triples of same-axis
+coordinates and batches > 0 index into batch 0.  The default here implements
+the evident intent (true xyz neighbourhoods, per-batch gather); pass
+``bug_compat=True`` to replicate the reference behaviour bit-for-bit
+(used by the parity tests).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from dgcnn_tpu.ops.eig3 import principal_eig3x3_sym
+from dgcnn_tpu.ops.graph import gather_neighbors
+from dgcnn_tpu.ops.knn import knn
+
+_NUM_BINS = 9
+_BIN_WIDTH = 20.0
+
+
+def principal_gradients(
+    x: jax.Array, idx: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Per-point principal direction and magnitude of the local neighbourhood.
+
+    Follows the reference: SVD of the centred (k, 3) neighbourhood; the first
+    right singular vector is the gradient, sqrt of the first singular value the
+    magnitude (model_partseg.py:36-50: s0 = sqrt(sigma0), i.e. lambda0^(1/4) of
+    the unnormalized covariance).
+
+    Args:
+      x: (B, N, 3) points.
+      idx: (B, N, k) neighbour indices.
+    Returns:
+      gradients (B, N, 3) unit vectors; magnitudes (B, N, 1).
+    """
+    x_nn = gather_neighbors(x, idx)                       # (B, N, k, 3)
+    centered = x_nn - jnp.mean(x_nn, axis=2, keepdims=True)
+    cov = jnp.einsum(
+        "bnki,bnkj->bnij", centered, centered,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    grad, lam0 = principal_eig3x3_sym(cov)
+    mag = jnp.power(jnp.maximum(lam0, 0.0), 0.25)[..., None]
+    return grad, mag
+
+
+def _flat_gather_no_base(feat: jax.Array, idx: jax.Array) -> jax.Array:
+    """Replicates the reference's base-offset-free flattened gather:
+    feat.view(B*N, C)[idx.view(-1)] — all batches index into batch 0."""
+    b, n, c = feat.shape
+    k = idx.shape[-1]
+    return feat.reshape(b * n, c)[idx.reshape(-1)].reshape(b, n, k, c)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "bug_compat"))
+def compute_hog(x: jax.Array, k: int, *, bug_compat: bool = False) -> jax.Array:
+    """Histogram of oriented gradients with cell size 1 (every point).
+
+    Args:
+      x: (B, N, 3) point cloud (channels-last; reference takes (B, 3, N)).
+      k: neighbourhood size.
+      bug_compat: replicate the reference's gather bugs (see module docstring).
+    Returns:
+      (B, N, 18) L2-normalized histograms: 9 bins x (zenith, azimuth) channels,
+      interleaved as the reference's (B, N, 9, 2) row-major reshape.
+    """
+    b, n, _ = x.shape
+    idx = knn(x, k)
+    if bug_compat:
+        # reference model_partseg.py:26-30: view on the untransposed (B, 3, N)
+        # tensor + no idx_base — rows are same-axis coordinate triples.
+        rows = jnp.transpose(x, (0, 2, 1)).reshape(b * n, 3)
+        x_nn = rows[idx.reshape(-1)].reshape(b, n, k, 3)
+        centered = x_nn - jnp.mean(x_nn, axis=2, keepdims=True)
+        cov = jnp.einsum(
+            "bnki,bnkj->bnij", centered, centered,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        grad, lam0 = principal_eig3x3_sym(cov)
+        mag = jnp.power(jnp.maximum(lam0, 0.0), 0.25)[..., None]
+        grad_nn = _flat_gather_no_base(grad, idx)
+        mag_nn = _flat_gather_no_base(mag, idx)
+    else:
+        grad, mag = principal_gradients(x, idx)
+        grad_nn = gather_neighbors(grad, idx)             # (B, N, k, 3)
+        mag_nn = gather_neighbors(mag, idx)               # (B, N, k, 1)
+
+    zenith = jnp.degrees(jnp.arccos(jnp.clip(grad_nn[..., 2], -1.0, 1.0)))
+    # Reference uses atan(y/x), not atan2 — quadrant folding + NaN at x=0 kept.
+    azimuth = jnp.degrees(jnp.arctan(grad_nn[..., 1] / grad_nn[..., 0]))
+
+    ang = jnp.stack([zenith, azimuth], axis=-1)           # (B, N, k, 2)
+    ang = jnp.trunc(ang)                                  # reference .int() cast
+    ang = jnp.where(ang < 0, ang + 180.0, ang)
+
+    bins = jnp.mod(jnp.floor(ang / _BIN_WIDTH - 0.5), _NUM_BINS)
+    first_centers = _BIN_WIDTH * (jnp.mod(bins + 1, _NUM_BINS) + 0.5)
+    first_votes = mag_nn * jnp.mod(first_centers - ang, 180.0) / _BIN_WIDTH
+    second_centers = _BIN_WIDTH * (bins + 0.5)
+    second_votes = mag_nn * jnp.mod(ang - second_centers, 180.0) / _BIN_WIDTH
+
+    # Scatter-by-one-hot replaces the reference's python loop over 9 bins
+    # (model_partseg.py:87-89).  first vote -> bin c, second vote -> (c+1) % 9.
+    oh_first = jax.nn.one_hot(bins.astype(jnp.int32), _NUM_BINS, dtype=x.dtype)
+    oh_second = jax.nn.one_hot(
+        jnp.mod(bins + 1, _NUM_BINS).astype(jnp.int32), _NUM_BINS, dtype=x.dtype
+    )
+    # (B, N, k, 2, bins) summed over k -> (B, N, bins, 2)
+    hist = jnp.einsum("bnkc,bnkch->bnhc", first_votes, oh_first)
+    hist = hist + jnp.einsum("bnkc,bnkch->bnhc", second_votes, oh_second)
+
+    # L2 normalize over the bin axis (per angle channel), eps as F.normalize.
+    norm = jnp.sqrt(jnp.sum(jnp.square(hist), axis=2, keepdims=True))
+    hist = hist / jnp.maximum(norm, 1e-12)
+    return hist.reshape(b, n, _NUM_BINS * 2)
