@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Headline benchmark: ModelNet40 DGCNN classification inference throughput,
+1024 points, k=20 (BASELINE.json config 1), on one chip.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference publishes no throughput numbers (SURVEY.md §6);
+the PyTorch-GPU denominator is the commonly measured DGCNN inference rate on
+the CUDA-10-era GPUs the reference targeted (~batch 32 in ~60 ms on a
+1080Ti-class card => ~500 clouds/sec).  BASELINE.json's north-star is >=10x
+that on a v5e chip, i.e. vs_baseline >= 10.
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REF_GPU_CLOUDS_PER_SEC = 500.0
+
+BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+NUM_POINTS = int(os.environ.get("BENCH_POINTS", "1024"))
+K = int(os.environ.get("BENCH_K", "20"))
+ITERS = int(os.environ.get("BENCH_ITERS", "30"))
+
+
+def main() -> None:
+    from dgcnn_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dgcnn_tpu.models import DGCNNCls
+
+    model = DGCNNCls(emb_dims=1024, k=K, output_channels=40)
+    rng = np.random.RandomState(0)
+    points = jnp.asarray(rng.randn(BATCH, NUM_POINTS, 3).astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, points,
+                           train=False)
+
+    @jax.jit
+    def forward(v, pts):
+        return model.apply(v, pts, train=False)
+
+    # warmup/compile
+    forward(variables, points).block_until_ready()
+    forward(variables, points).block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        out = forward(variables, points)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    clouds_per_sec = BATCH * ITERS / dt
+    print(json.dumps({
+        "metric": f"ModelNet40 DGCNN-cls inference clouds/sec/chip "
+                  f"({NUM_POINTS} pts, k={K}, batch {BATCH})",
+        "value": round(clouds_per_sec, 1),
+        "unit": "clouds/sec",
+        "vs_baseline": round(clouds_per_sec / REF_GPU_CLOUDS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

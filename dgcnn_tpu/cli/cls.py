@@ -1,0 +1,214 @@
+"""ModelNet40 classification engine (reference main_cls.py semantics on the
+TPU-native stack).  Train/test loops, metric strings, and the best-accuracy
+checkpoint gate reproduce main_cls.py:44-190; the compute path is jit'd,
+batch-sharded over the local device mesh, with device-side metrics."""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dgcnn_tpu.cli.common import (
+    MeterAccumulator,
+    build_data_parallel_call,
+    init_output_dir,
+    pick_devices,
+    str2bool,
+)
+from dgcnn_tpu.data import ModelNet40, NumpyLoader, device_prefetch
+from dgcnn_tpu.models import DGCNNCls, PointNet
+from dgcnn_tpu.train import (
+    TrainState,
+    accuracy_score,
+    balanced_accuracy_score,
+    load_model,
+    make_cls_steps,
+    make_optimizer,
+    make_schedule,
+    save_model,
+)
+from dgcnn_tpu.utils import IOStream, enable_compilation_cache
+
+
+def build_model(args):
+    if args.model == "pointnet":
+        return PointNet(emb_dims=args.emb_dims, dropout=args.dropout)
+    if args.model == "dgcnn":
+        return DGCNNCls(emb_dims=args.emb_dims, k=args.k, dropout=args.dropout)
+    raise Exception("Not implemented")
+
+
+def init_state(args, model, steps_per_epoch: int, rng):
+    dummy = jnp.zeros((2, args.num_points, 3), jnp.float32)
+    variables = model.init({"params": rng}, dummy, train=False)
+    schedule = make_schedule(
+        args.scheduler, args.lr, epochs=args.epochs,
+        steps_per_epoch=steps_per_epoch, use_sgd=args.use_sgd,
+    )
+    tx = make_optimizer(use_sgd=args.use_sgd, schedule=schedule,
+                        momentum=args.momentum)
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        tx=tx,
+    )
+
+
+def train(args, io: IOStream):
+    train_ds = ModelNet40(partition="train", num_points=args.num_points,
+                          seed=args.seed)
+    test_ds = ModelNet40(partition="test", num_points=args.num_points,
+                         seed=args.seed)
+    train_loader = NumpyLoader(train_ds, ["points", "label"],
+                               batch_size=args.batch_size, shuffle=True,
+                               drop_last=True, seed=args.seed)
+    test_loader = NumpyLoader(test_ds, ["points", "label"],
+                              batch_size=args.test_batch_size, shuffle=True,
+                              seed=args.seed)
+    devices = pick_devices(args.no_cuda)
+    io.cprint(f"Using {len(devices)} device(s): {devices[0].platform}")
+
+    model = build_model(args)
+    state = init_state(args, model, len(train_loader),
+                       jax.random.PRNGKey(args.seed))
+    train_step, eval_step = make_cls_steps(model)
+    train_call = build_data_parallel_call(train_step, devices,
+                                          args.batch_size, n_sharded=2,
+                                          donate=True)
+    eval_call = build_data_parallel_call(eval_step, devices,
+                                         args.test_batch_size, n_sharded=2)
+    key = jax.random.PRNGKey(args.seed)
+
+    best_test_acc = 0.0
+    for epoch in range(args.epochs):
+        train_loader.set_epoch(epoch)
+        test_loader.set_epoch(epoch)
+        meter = MeterAccumulator()
+        for batch in device_prefetch(iter(train_loader)):
+            state, m = train_call(
+                state, batch["points"], batch["label"].squeeze(-1), key)
+            meter.add_cls(m["loss"], np.asarray(m["preds"]),
+                          np.asarray(batch["label"]).squeeze(-1),
+                          np.asarray(batch["mask"]))
+        t, p = meter.concat()
+        io.cprint(
+            "Train %d, loss: %.6f, train acc: %.6f, train avg acc: %.6f"
+            % (epoch, meter.mean_loss, accuracy_score(t, p),
+               balanced_accuracy_score(t, p))
+        )
+
+        meter = MeterAccumulator()
+        for batch in device_prefetch(iter(test_loader)):
+            m = eval_call(state, batch["points"], batch["label"].squeeze(-1))
+            meter.add_cls(m["loss"], np.asarray(m["preds"]),
+                          np.asarray(batch["label"]).squeeze(-1),
+                          np.asarray(batch["mask"]))
+        t, p = meter.concat()
+        test_acc = accuracy_score(t, p)
+        io.cprint(
+            "Test %d, loss: %.6f, test acc: %.6f, test avg acc: %.6f"
+            % (epoch, meter.mean_loss, test_acc, balanced_accuracy_score(t, p))
+        )
+        if test_acc >= best_test_acc:
+            best_test_acc = test_acc
+            save_model(
+                f"outputs/{args.exp_name}/models/model.t7.msgpack",
+                {"params": state.params, "batch_stats": state.batch_stats},
+            )
+
+
+def load_variables_any(path: str, args):
+    """Load either our msgpack or a torch .t7 state dict (converted)."""
+    if path.endswith(".msgpack"):
+        return load_model(path)
+    from dgcnn_tpu.convert import (
+        convert_dgcnn_cls,
+        convert_pointnet,
+        load_torch_checkpoint,
+    )
+
+    sd = load_torch_checkpoint(path)
+    conv = convert_pointnet if args.model == "pointnet" else convert_dgcnn_cls
+    return conv(sd)
+
+
+def test(args, io: IOStream):
+    test_ds = ModelNet40(partition="test", num_points=args.num_points,
+                         seed=args.seed)
+    loader = NumpyLoader(test_ds, ["points", "label"],
+                         batch_size=args.test_batch_size, shuffle=True,
+                         seed=args.seed)
+    devices = pick_devices(args.no_cuda)
+    model = build_model(args)
+    variables = load_variables_any(args.model_path, args)
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        tx=make_optimizer(use_sgd=True, schedule=lambda _: 0.0),
+    )
+    _, eval_step = make_cls_steps(model)
+    eval_call = build_data_parallel_call(eval_step, devices,
+                                         args.test_batch_size, n_sharded=2)
+    meter = MeterAccumulator()
+    for batch in device_prefetch(iter(loader)):
+        m = eval_call(state, batch["points"], batch["label"].squeeze(-1))
+        meter.add_cls(m["loss"], np.asarray(m["preds"]),
+                      np.asarray(batch["label"]).squeeze(-1),
+                      np.asarray(batch["mask"]))
+    t, p = meter.concat()
+    io.cprint(
+        "Test :: test acc: %.6f, test avg acc: %.6f"
+        % (accuracy_score(t, p), balanced_accuracy_score(t, p))
+    )
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="Point Cloud Recognition")
+    parser.add_argument("--exp_name", type=str, default="exp", metavar="N")
+    parser.add_argument("--model", type=str, default="dgcnn", metavar="N",
+                        choices=["pointnet", "dgcnn"])
+    parser.add_argument("--dataset", type=str, default="modelnet40",
+                        metavar="N", choices=["modelnet40"])
+    parser.add_argument("--batch_size", type=int, default=32,
+                        metavar="batch_size")
+    parser.add_argument("--test_batch_size", type=int, default=16,
+                        metavar="batch_size")
+    parser.add_argument("--epochs", type=int, default=250, metavar="N")
+    parser.add_argument("--use_sgd", type=str2bool, default=True)
+    parser.add_argument("--lr", type=float, default=0.001, metavar="LR")
+    parser.add_argument("--momentum", type=float, default=0.9, metavar="M")
+    parser.add_argument("--scheduler", type=str, default="cos", metavar="N",
+                        choices=["cos", "step"])
+    parser.add_argument("--no_cuda", type=str2bool, default=False,
+                        help="force CPU backend")
+    parser.add_argument("--seed", type=int, default=1, metavar="S")
+    parser.add_argument("--eval", type=str2bool, default=False)
+    parser.add_argument("--num_points", type=int, default=1024)
+    parser.add_argument("--dropout", type=float, default=0.5)
+    parser.add_argument("--emb_dims", type=int, default=1024, metavar="N")
+    parser.add_argument("--k", type=int, default=20, metavar="N")
+    parser.add_argument("--model_path", type=str, default="", metavar="N")
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    enable_compilation_cache()
+    init_output_dir(args.exp_name, __file__)
+    io = IOStream("outputs/" + args.exp_name + "/run.log")
+    io.cprint(str(args))
+    np.random.seed(args.seed)
+    if not args.eval:
+        train(args, io)
+    else:
+        test(args, io)
+
+
+if __name__ == "__main__":
+    main()

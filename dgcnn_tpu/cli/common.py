@@ -1,0 +1,123 @@
+"""Shared CLI plumbing (SURVEY.md §2 #32 output scaffolding, §5 config system).
+
+Flag surfaces of the four entry points mirror the reference argparse blocks.
+One conscious fix (SURVEY.md §7 quirk 6): the reference's ``type=bool`` flags
+parse any non-empty string as True (``--eval=False`` evaluates True!); here
+boolean flags parse "true/false/1/0" properly.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+from typing import List, Optional
+
+import numpy as np
+
+
+def str2bool(v) -> bool:
+    if isinstance(v, bool):
+        return v
+    if v.lower() in ("yes", "true", "t", "y", "1"):
+        return True
+    if v.lower() in ("no", "false", "f", "n", "0"):
+        return False
+    raise argparse.ArgumentTypeError(f"boolean value expected, got {v!r}")
+
+
+def init_output_dir(exp_name: str, entry_file: str) -> str:
+    """outputs/<exp>/{models,visualization,checkpoints} + source snapshot
+    backups (reference main_cls.py:32-42)."""
+    exp_dir = os.path.join("outputs", exp_name)
+    for sub in ["models", "visualization", "checkpoints"]:
+        os.makedirs(os.path.join(exp_dir, sub), exist_ok=True)
+    for src in [entry_file]:
+        if os.path.exists(src):
+            shutil.copyfile(
+                src, os.path.join(exp_dir, os.path.basename(src) + ".backup")
+            )
+    return exp_dir
+
+
+def pick_devices(no_accelerator: bool = False):
+    """Device selection; ``--no_cuda`` maps to forcing the CPU backend."""
+    import jax
+
+    if no_accelerator:
+        cpus = jax.devices("cpu")
+        return cpus
+    return jax.devices()
+
+
+def build_data_parallel_call(step_fn, devices, batch_size: int,
+                             n_sharded: int, donate: bool = False):
+    """Jit a step with the batch sharded over a 1-D mesh when the batch size
+    divides the device count; otherwise plain jit on the first device
+    (the reference's DataParallel analogue, main_cls.py:62).
+
+    ``donate=True`` donates the state buffer — use only for train steps where
+    the caller rebinds the returned state."""
+    import jax
+
+    from dgcnn_tpu.parallel import jit_data_parallel, make_mesh
+
+    if len(devices) > 1 and batch_size % len(devices) == 0:
+        mesh = make_mesh(devices)
+        return jit_data_parallel(step_fn, mesh, n_sharded,
+                                 donate_state=donate)
+    jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    def call(state, *args):
+        return jitted(state, *args)
+
+    return call
+
+
+class MeterAccumulator:
+    """Host-side metric accumulation mirroring the reference engines' lists
+    (e.g. main_cls.py:87-119) with padded-row masking."""
+
+    def __init__(self):
+        self.loss_sum = 0.0
+        self.count = 0
+        self.true: List[np.ndarray] = []
+        self.pred: List[np.ndarray] = []
+        self.true_seg: List[np.ndarray] = []
+        self.pred_seg: List[np.ndarray] = []
+        self.label_seg: List[np.ndarray] = []
+
+    def add_cls(self, loss: float, preds: np.ndarray, labels: np.ndarray,
+                mask: np.ndarray) -> None:
+        real = int(mask.sum())
+        self.loss_sum += float(loss) * real
+        self.count += real
+        self.true.append(np.asarray(labels)[mask])
+        self.pred.append(np.asarray(preds)[mask])
+
+    def add_seg(self, loss: float, preds: np.ndarray, seg: np.ndarray,
+                labels: Optional[np.ndarray], mask: np.ndarray) -> None:
+        real = int(mask.sum())
+        self.loss_sum += float(loss) * real
+        self.count += real
+        p = np.asarray(preds)[mask]
+        s = np.asarray(seg)[mask]
+        self.true.append(s.reshape(-1))
+        self.pred.append(p.reshape(-1))
+        self.true_seg.append(s)
+        self.pred_seg.append(p)
+        if labels is not None:
+            self.label_seg.append(np.ravel(np.asarray(labels)[mask]))
+
+    @property
+    def mean_loss(self) -> float:
+        return self.loss_sum / max(self.count, 1)
+
+    def concat(self):
+        return np.concatenate(self.true), np.concatenate(self.pred)
+
+    def concat_seg(self):
+        return (
+            np.concatenate(self.true_seg, 0),
+            np.concatenate(self.pred_seg, 0),
+            np.concatenate(self.label_seg) if self.label_seg else None,
+        )

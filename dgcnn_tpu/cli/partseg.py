@@ -1,0 +1,309 @@
+"""ShapeNetPart part-segmentation engines.
+
+``test`` mirrors the eval-only reference main_partseg.py:157-213 (model path
+under outputs/<exp>/ — reference quirk :166 preserved via ``--model_path``
+resolution, falling back to an absolute/relative path when absent);
+``train`` provides the single-process training loop whose distributed variant
+lives in cli/partseg_dist.py (reference main_partseg_dist.py).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dgcnn_tpu.cli.common import (
+    MeterAccumulator,
+    build_data_parallel_call,
+    init_output_dir,
+    pick_devices,
+    str2bool,
+)
+from dgcnn_tpu.data import (
+    NumpyLoader,
+    ShapeNetPart,
+    ShapeNetPartAugmented,
+    device_prefetch,
+    load_color_partseg,
+)
+from dgcnn_tpu.models import DGCNNPartSeg, Net
+from dgcnn_tpu.train import (
+    TrainState,
+    accuracy_score,
+    balanced_accuracy_score,
+    calculate_shape_IoU,
+    load_model,
+    load_train_checkpoint,
+    make_optimizer,
+    make_schedule,
+    make_seg_steps,
+    save_model,
+    save_train_checkpoint,
+)
+from dgcnn_tpu.utils import IOStream, enable_compilation_cache
+from dgcnn_tpu.utils.visualization import PartSegVisualizer
+
+NUM_CATEGORIES = 16
+
+
+def build_model(args):
+    if args.model == "dgcnn":
+        return DGCNNPartSeg(
+            emb_dims=getattr(args, "emb_dims", args.emb_dim),
+            k=args.k, dropout=args.dropout, seg_num_all=args.nclasses,
+        )
+    return Net(
+        emb_dim=args.emb_dim, k=args.k, n_heads=args.n_heads,
+        n_blocks=args.n_blocks, ff_dims=args.ff_dims,
+        d_qkv=getattr(args, "d_qkv", 64), dropout=args.dropout,
+        nclasses=args.nclasses,
+        use_custom_attention=getattr(args, "use_custom_attention", False),
+    )
+
+
+def one_hot_categories(label: np.ndarray) -> np.ndarray:
+    out = np.zeros((label.shape[0], NUM_CATEGORIES), np.float32)
+    out[np.arange(label.shape[0]), np.ravel(label)] = 1
+    return out
+
+
+def init_state(args, model, steps_per_epoch, rng):
+    dummy = jnp.zeros((2, args.num_points, 3), jnp.float32)
+    lbl = jnp.zeros((2, NUM_CATEGORIES), jnp.float32)
+    variables = model.init(
+        {"params": rng, "dropout": jax.random.PRNGKey(0)},
+        dummy, lbl, train=False,
+    )
+    schedule = make_schedule(
+        args.scheduler, args.lr, epochs=args.epochs,
+        steps_per_epoch=steps_per_epoch, use_sgd=args.use_sgd,
+    )
+    tx = make_optimizer(use_sgd=args.use_sgd, schedule=schedule,
+                        momentum=args.momentum, adamw=True)
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        tx=tx,
+    )
+
+
+def run_epoch_eval(eval_call, state, loader, seg_start_index, visualizer=None):
+    meter = MeterAccumulator()
+    for batch in device_prefetch(iter(loader)):
+        seg = batch["seg"] - seg_start_index
+        lbl1h = one_hot_categories(batch["label"])
+        m = eval_call(state, batch["points"], lbl1h, seg)
+        mask = np.asarray(batch["mask"])
+        meter.add_seg(m["loss"], np.asarray(m["preds"]), seg,
+                      batch["label"], mask)
+        if visualizer is not None:
+            visualizer(
+                np.asarray(batch["points"])[mask],
+                np.asarray(m["preds"])[mask],
+                np.asarray(seg)[mask],
+                np.ravel(np.asarray(batch["label"]))[mask],
+            )
+    return meter
+
+
+def train(args, io: IOStream):
+    dataset_cls = (ShapeNetPartAugmented if args.dataset == "shapenetpart_aug"
+                   else None)
+    if dataset_cls is not None:
+        train_ds = dataset_cls(partition="trainval", seed=args.seed)
+        test_ds = dataset_cls(partition="test", seed=args.seed)
+        seg_start_index = 0
+    else:
+        train_ds = ShapeNetPart(args.num_points, "trainval",
+                                args.class_choice, seed=args.seed)
+        test_ds = ShapeNetPart(args.num_points, "test",
+                               args.class_choice, seed=args.seed)
+        seg_start_index = train_ds.seg_start_index
+        args.nclasses = (train_ds.seg_num_all
+                         if args.class_choice else args.nclasses)
+    train_loader = NumpyLoader(train_ds, ["points", "label", "seg"],
+                               batch_size=args.batch_size, shuffle=True,
+                               drop_last=len(train_ds) >= 100, seed=args.seed)
+    test_loader = NumpyLoader(test_ds, ["points", "label", "seg"],
+                              batch_size=args.test_batch_size, shuffle=True,
+                              seed=args.seed)
+    devices = pick_devices(args.no_cuda)
+    io.cprint(f"Using {len(devices)} device(s): {devices[0].platform}")
+
+    model = build_model(args)
+    state = init_state(args, model, len(train_loader),
+                       jax.random.PRNGKey(args.seed))
+    ckpt_path = f"outputs/{args.exp_name}/checkpoints/ckpt.checkpoint"
+    start_epoch = 0
+    if getattr(args, "resume", False) and os.path.isfile(ckpt_path):
+        state, start_epoch, _ = load_train_checkpoint(ckpt_path, state)
+        io.cprint(f"Resumed from {ckpt_path} at epoch {start_epoch}")
+
+    train_step, eval_step = make_seg_steps(model)
+    train_call = build_data_parallel_call(train_step, devices,
+                                          args.batch_size, n_sharded=3,
+                                          donate=True)
+    eval_call = build_data_parallel_call(eval_step, devices,
+                                         args.test_batch_size, n_sharded=3)
+    key = jax.random.PRNGKey(args.seed)
+
+    best_test_iou = 0.0
+    for epoch in range(start_epoch, args.epochs):
+        train_loader.set_epoch(epoch)
+        test_loader.set_epoch(epoch)
+        meter = MeterAccumulator()
+        for batch in device_prefetch(iter(train_loader)):
+            seg = batch["seg"] - seg_start_index
+            lbl1h = one_hot_categories(batch["label"])
+            state, m = train_call(state, batch["points"], lbl1h, seg, key)
+            meter.add_seg(m["loss"], np.asarray(m["preds"]), seg,
+                          batch["label"], np.asarray(batch["mask"]))
+        t, p = meter.concat()
+        ts, ps, ls = meter.concat_seg()
+        ious = calculate_shape_IoU(ps, ts, ls, args.class_choice)
+        io.cprint(
+            "Train %d, loss: %.6f, train acc: %.6f, train avg acc: %.6f, "
+            "train iou: %.6f"
+            % (epoch, meter.mean_loss, accuracy_score(t, p),
+               balanced_accuracy_score(t, p), float(np.mean(ious)))
+        )
+
+        meter = run_epoch_eval(eval_call, state, test_loader, seg_start_index)
+        t, p = meter.concat()
+        ts, ps, ls = meter.concat_seg()
+        ious = calculate_shape_IoU(ps, ts, ls, args.class_choice)
+        io.cprint(
+            "Test %d, loss: %.6f, test acc: %.6f, test avg acc: %.6f, "
+            "test iou: %.6f"
+            % (epoch, meter.mean_loss, accuracy_score(t, p),
+               balanced_accuracy_score(t, p), float(np.mean(ious)))
+        )
+        if np.mean(ious) >= best_test_iou:
+            best_test_iou = float(np.mean(ious))
+            save_train_checkpoint(
+                f"outputs/{args.exp_name}/models/transformer_{epoch}.checkpoint",
+                state, epoch, meter.mean_loss)
+        save_train_checkpoint(ckpt_path, state, epoch, meter.mean_loss)
+
+
+def test(args, io: IOStream):
+    test_ds = ShapeNetPart(args.num_points, "test", args.class_choice,
+                           seed=args.seed)
+    loader = NumpyLoader(test_ds, ["points", "label", "seg"],
+                         batch_size=args.test_batch_size, shuffle=True,
+                         seed=args.seed)
+    devices = pick_devices(args.no_cuda)
+    model = build_model(args)
+
+    # reference main_partseg.py:166 forces the path under outputs/<exp>/
+    model_path = f"outputs/{args.exp_name}/{args.model_path}"
+    if not os.path.exists(model_path):
+        model_path = args.model_path
+    variables = load_variables_any(model_path, args)
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        tx=make_optimizer(use_sgd=True, schedule=lambda _: 0.0),
+    )
+    _, eval_step = make_seg_steps(model)
+    eval_call = build_data_parallel_call(eval_step, devices,
+                                         args.test_batch_size, n_sharded=3)
+    visualizer = PartSegVisualizer(
+        f"outputs/{args.exp_name}", args.visu, args.visu_format,
+        test_ds.partseg_colors, args.class_choice,
+    )
+    meter = run_epoch_eval(eval_call, state, loader,
+                           test_ds.seg_start_index, visualizer)
+    visualizer.warn_if_unmatched()
+    t, p = meter.concat()
+    ts, ps, ls = meter.concat_seg()
+    ious = calculate_shape_IoU(ps, ts, ls, args.class_choice)
+    io.cprint(
+        "Test: test acc: %.6f, test avg acc: %.6f, test iou: %.6f"
+        % (accuracy_score(t, p), balanced_accuracy_score(t, p),
+           float(np.mean(ious)))
+    )
+
+
+def load_variables_any(path: str, args):
+    if path.endswith(".msgpack"):
+        return load_model(path)
+    from dgcnn_tpu.convert import (
+        convert_dgcnn_partseg,
+        convert_net,
+        load_torch_checkpoint,
+    )
+
+    sd = load_torch_checkpoint(path)
+    if args.model == "dgcnn":
+        return convert_dgcnn_partseg(sd)
+    return convert_net(sd, n_blocks=args.n_blocks)
+
+
+def build_parser(dist: bool = False) -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Point Cloud Part Segmentation")
+    parser.add_argument("--exp_name", type=str, default="exp", metavar="N")
+    parser.add_argument("--model", type=str, default="transformer",
+                        metavar="N", choices=["dgcnn", "transformer"])
+    parser.add_argument("--dataset", type=str, default="shapenetpart",
+                        metavar="N",
+                        choices=["shapenetpart", "shapenetpart_aug"])
+    parser.add_argument("--class_choice", type=str, default=None, metavar="N",
+                        choices=["airplane", "bag", "cap", "car", "chair",
+                                 "earphone", "guitar", "knife", "lamp",
+                                 "laptop", "motor", "mug", "pistol", "rocket",
+                                 "skateboard", "table"])
+    parser.add_argument("--batch_size", type=int,
+                        default=24 if dist else 32, metavar="batch_size")
+    parser.add_argument("--test_batch_size", type=int, default=16,
+                        metavar="batch_size")
+    parser.add_argument("--epochs", type=int, default=200, metavar="N")
+    parser.add_argument("--use_sgd", type=str2bool, default=True)
+    parser.add_argument("--lr", type=float, default=0.001, metavar="LR")
+    parser.add_argument("--momentum", type=float, default=0.9, metavar="M")
+    parser.add_argument("--scheduler", type=str, default="cycle", metavar="N",
+                        choices=["cos", "step", "cycle"])
+    parser.add_argument("--use_custom_attention", action="store_true")
+    parser.add_argument("--no_cuda", type=str2bool, default=False)
+    parser.add_argument("--seed", type=int, default=1, metavar="S")
+    parser.add_argument("--ff_dims", type=int, default=512)
+    parser.add_argument("--n_heads", type=int, default=4 if dist else 1)
+    parser.add_argument("--n_blocks", type=int, default=1)
+    parser.add_argument("--d_qkv", type=int, default=64)
+    parser.add_argument("--eval", type=str2bool, default=False)
+    parser.add_argument("--num_points", type=int, default=2048)
+    parser.add_argument("--nclasses", type=int, default=50)
+    parser.add_argument("--dropout", type=float, default=0.5)
+    parser.add_argument("--emb_dim", type=int, default=512, metavar="N")
+    parser.add_argument("--k", type=int, default=20 if not dist else 32,
+                        metavar="N")
+    parser.add_argument("--model_path", type=str,
+                        default="models/transformer.pt", metavar="N")
+    parser.add_argument("--visu", type=str, default="")
+    parser.add_argument("--visu_format", type=str, default="ply")
+    parser.add_argument("--resume", type=str2bool, default=False)
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    enable_compilation_cache()
+    init_output_dir(args.exp_name, __file__)
+    io = IOStream("outputs/" + args.exp_name + "/run.log")
+    io.cprint(str(args))
+    np.random.seed(args.seed)
+    if args.eval:
+        test(args, io)
+    else:
+        train(args, io)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,263 @@
+"""S3DIS semantic-segmentation engine (reference main_semseg.py semantics):
+6-fold protocol — train per ``--test_area``, save ``model_<area>``, and
+``test`` loops areas 1..6 loading ``model_root/model_<area>`` with per-area +
+overall metrics and streaming room visualization."""
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from dgcnn_tpu.cli.common import (
+    MeterAccumulator,
+    build_data_parallel_call,
+    init_output_dir,
+    pick_devices,
+    str2bool,
+)
+from dgcnn_tpu.data import S3DIS, NumpyLoader, device_prefetch, data_root
+from dgcnn_tpu.models import DGCNNSemSeg
+from dgcnn_tpu.train import (
+    TrainState,
+    accuracy_score,
+    balanced_accuracy_score,
+    calculate_sem_IoU,
+    load_model,
+    make_optimizer,
+    make_schedule,
+    make_seg_steps,
+    save_model,
+)
+from dgcnn_tpu.utils import IOStream, enable_compilation_cache
+from dgcnn_tpu.utils.visualization import SemSegVisualizer
+
+
+def build_model(args):
+    if args.model == "dgcnn":
+        return DGCNNSemSeg(emb_dims=args.emb_dims, k=args.k,
+                           dropout=args.dropout)
+    raise Exception("Not implemented")
+
+
+def init_state(args, model, steps_per_epoch, rng):
+    dummy = jnp.zeros((2, args.num_points, 9), jnp.float32)
+    variables = model.init({"params": rng}, dummy, train=False)
+    schedule = make_schedule(
+        args.scheduler, args.lr, epochs=args.epochs,
+        steps_per_epoch=steps_per_epoch, use_sgd=args.use_sgd,
+    )
+    tx = make_optimizer(use_sgd=args.use_sgd, schedule=schedule,
+                        momentum=args.momentum)
+    return TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        tx=tx,
+    )
+
+
+def train(args, io: IOStream):
+    train_ds = S3DIS(args.num_points, "train", args.test_area, seed=args.seed)
+    test_ds = S3DIS(args.num_points, "test", args.test_area, seed=args.seed)
+    train_loader = NumpyLoader(train_ds, ["points", "seg"],
+                               batch_size=args.batch_size, shuffle=True,
+                               drop_last=True, seed=args.seed)
+    test_loader = NumpyLoader(test_ds, ["points", "seg"],
+                              batch_size=args.test_batch_size, shuffle=True,
+                              seed=args.seed)
+    devices = pick_devices(args.no_cuda)
+    io.cprint(f"Using {len(devices)} device(s): {devices[0].platform}")
+
+    model = build_model(args)
+    state = init_state(args, model, len(train_loader),
+                       jax.random.PRNGKey(args.seed))
+    train_step, eval_step = make_seg_steps(model, with_label=False)
+    train_call = build_data_parallel_call(train_step, devices,
+                                          args.batch_size, n_sharded=2,
+                                          donate=True)
+    eval_call = build_data_parallel_call(eval_step, devices,
+                                         args.test_batch_size, n_sharded=2)
+    key = jax.random.PRNGKey(args.seed)
+
+    best_test_iou = 0.0
+    for epoch in range(args.epochs):
+        train_loader.set_epoch(epoch)
+        test_loader.set_epoch(epoch)
+        meter = MeterAccumulator()
+        for batch in device_prefetch(iter(train_loader)):
+            state, m = train_call(state, batch["points"], batch["seg"], key)
+            meter.add_seg(m["loss"], np.asarray(m["preds"]), batch["seg"],
+                          None, np.asarray(batch["mask"]))
+        t, p = meter.concat()
+        ts, ps, _ = meter.concat_seg()
+        ious = calculate_sem_IoU(ps, ts)
+        io.cprint(
+            "Train %d, loss: %.6f, train acc: %.6f, train avg acc: %.6f, "
+            "train iou: %.6f"
+            % (epoch, meter.mean_loss, accuracy_score(t, p),
+               balanced_accuracy_score(t, p), float(np.mean(ious)))
+        )
+
+        meter = MeterAccumulator()
+        for batch in device_prefetch(iter(test_loader)):
+            m = eval_call(state, batch["points"], batch["seg"])
+            meter.add_seg(m["loss"], np.asarray(m["preds"]), batch["seg"],
+                          None, np.asarray(batch["mask"]))
+        t, p = meter.concat()
+        ts, ps, _ = meter.concat_seg()
+        ious = calculate_sem_IoU(ps, ts)
+        io.cprint(
+            "Test %d, loss: %.6f, test acc: %.6f, test avg acc: %.6f, "
+            "test iou: %.6f"
+            % (epoch, meter.mean_loss, accuracy_score(t, p),
+               balanced_accuracy_score(t, p), float(np.mean(ious)))
+        )
+        if np.mean(ious) >= best_test_iou:
+            best_test_iou = float(np.mean(ious))
+            save_model(
+                f"outputs/{args.exp_name}/models/model_{args.test_area}.t7.msgpack",
+                {"params": state.params, "batch_stats": state.batch_stats},
+            )
+
+
+def load_variables_any(path: str):
+    if path.endswith(".msgpack"):
+        return load_model(path)
+    from dgcnn_tpu.convert import convert_dgcnn_semseg, load_torch_checkpoint
+
+    return convert_dgcnn_semseg(load_torch_checkpoint(path))
+
+
+def test(args, io: IOStream):
+    all_true, all_pred = [], []
+    all_true_seg, all_pred_seg = [], []
+    areas = ["1", "2", "3", "4", "5", "6"] if args.test_area == "all" else [
+        args.test_area]
+    devices = pick_devices(args.no_cuda)
+    model = build_model(args)
+    _, eval_step = make_seg_steps(model, with_label=False)
+    eval_call = build_data_parallel_call(eval_step, devices,
+                                         args.test_batch_size, n_sharded=2)
+    for area in areas:
+        if args.test_area == "all" or area == args.test_area:
+            test_ds = S3DIS(args.num_points, "test", area, seed=args.seed)
+            # visualization must follow file order: no shuffle when visu on
+            loader = NumpyLoader(test_ds, ["points", "seg"],
+                                 batch_size=args.test_batch_size,
+                                 shuffle=not args.visu, seed=args.seed)
+            candidates = [
+                os.path.join(args.model_root, f"model_{area}.t7.msgpack"),
+                os.path.join(args.model_root, f"model_{area}.t7"),
+            ]
+            model_path = next((p for p in candidates if os.path.exists(p)),
+                              candidates[0])
+            variables = load_variables_any(model_path)
+            state = TrainState.create(
+                apply_fn=model.apply,
+                params=variables["params"],
+                batch_stats=variables["batch_stats"],
+                tx=make_optimizer(use_sgd=True, schedule=lambda _: 0.0),
+            )
+            visualizer = None
+            if args.visu:
+                test_dir = os.path.join(
+                    data_root(), "indoor3d_sem_seg_hdf5_data_test")
+                with open(os.path.join(test_dir, "room_filelist.txt")) as f:
+                    rooms = [ln.rstrip() for ln in f]
+                area_rooms = [r for r in rooms if f"Area_{area}" in r]
+                visualizer = SemSegVisualizer(
+                    f"outputs/{args.exp_name}", args.visu, args.visu_format,
+                    args.test_area, test_ds.semseg_colors, area_rooms,
+                    raw_data_dir=os.path.join(test_dir, "raw_data3d"),
+                )
+            meter = MeterAccumulator()
+            for batch in device_prefetch(iter(loader)):
+                m = eval_call(state, batch["points"], batch["seg"])
+                mask = np.asarray(batch["mask"])
+                meter.add_seg(m["loss"], np.asarray(m["preds"]),
+                              batch["seg"], None, mask)
+                if visualizer is not None:
+                    visualizer(np.asarray(batch["points"])[mask],
+                               np.asarray(batch["seg"])[mask],
+                               np.asarray(m["preds"])[mask])
+            if visualizer is not None:
+                visualizer.warn_if_unmatched()
+            t, p = meter.concat()
+            ts, ps, _ = meter.concat_seg()
+            ious = calculate_sem_IoU(ps, ts)
+            io.cprint(
+                "Test :: test area: %s, test acc: %.6f, test avg acc: %.6f, "
+                "test iou: %.6f"
+                % (area, accuracy_score(t, p), balanced_accuracy_score(t, p),
+                   float(np.mean(ious)))
+            )
+            all_true.append(t)
+            all_pred.append(p)
+            all_true_seg.append(ts)
+            all_pred_seg.append(ps)
+    if args.test_area == "all":
+        t = np.concatenate(all_true)
+        p = np.concatenate(all_pred)
+        ts = np.concatenate(all_true_seg, 0)
+        ps = np.concatenate(all_pred_seg, 0)
+        ious = calculate_sem_IoU(ps, ts)
+        io.cprint(
+            "Overall Test :: test acc: %.6f, test avg acc: %.6f, "
+            "test iou: %.6f"
+            % (accuracy_score(t, p), balanced_accuracy_score(t, p),
+               float(np.mean(ious)))
+        )
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Point Cloud Semantic Segmentation")
+    parser.add_argument("--exp_name", type=str, default="exp", metavar="N")
+    parser.add_argument("--model", type=str, default="dgcnn", metavar="N",
+                        choices=["dgcnn"])
+    parser.add_argument("--dataset", type=str, default="S3DIS", metavar="N",
+                        choices=["S3DIS"])
+    parser.add_argument("--test_area", type=str, default=None, metavar="N",
+                        choices=["1", "2", "3", "4", "5", "6", "all"])
+    parser.add_argument("--batch_size", type=int, default=32,
+                        metavar="batch_size")
+    parser.add_argument("--test_batch_size", type=int, default=16,
+                        metavar="batch_size")
+    parser.add_argument("--epochs", type=int, default=100, metavar="N")
+    parser.add_argument("--use_sgd", type=str2bool, default=True)
+    parser.add_argument("--lr", type=float, default=0.001, metavar="LR")
+    parser.add_argument("--momentum", type=float, default=0.9, metavar="M")
+    parser.add_argument("--scheduler", type=str, default="cos", metavar="N",
+                        choices=["cos", "step"])
+    parser.add_argument("--no_cuda", type=str2bool, default=False)
+    parser.add_argument("--seed", type=int, default=1, metavar="S")
+    parser.add_argument("--eval", type=str2bool, default=False)
+    parser.add_argument("--num_points", type=int, default=4096)
+    parser.add_argument("--dropout", type=float, default=0.5)
+    parser.add_argument("--emb_dims", type=int, default=1024, metavar="N")
+    parser.add_argument("--k", type=int, default=20, metavar="N")
+    parser.add_argument("--model_root", type=str, default="", metavar="N")
+    parser.add_argument("--visu", type=str, default="")
+    parser.add_argument("--visu_format", type=str, default="ply")
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    enable_compilation_cache()
+    init_output_dir(args.exp_name, __file__)
+    io = IOStream("outputs/" + args.exp_name + "/run.log")
+    io.cprint(str(args))
+    np.random.seed(args.seed)
+    if not args.eval:
+        train(args, io)
+    else:
+        test(args, io)
+
+
+if __name__ == "__main__":
+    main()

@@ -100,12 +100,16 @@ def _edgeconv(sd: SD, conv_key: str, bn_key: str) -> Tuple[dict, dict]:
     return params, bn_s
 
 
+def _join(prefix: str, name: str) -> str:
+    return f"{prefix}.{name}" if prefix else name
+
+
 def _mha(sd: SD, prefix: str) -> dict:
     """torch.nn.MultiheadAttention -> TorchMultiheadAttention params."""
     return {
-        "in_proj_weight": np.asarray(sd[prefix + ".in_proj_weight"]),
-        "in_proj_bias": np.asarray(sd[prefix + ".in_proj_bias"]),
-        "out_proj": _dense(sd, prefix + ".out_proj"),
+        "in_proj_weight": np.asarray(sd[_join(prefix, "in_proj_weight")]),
+        "in_proj_bias": np.asarray(sd[_join(prefix, "in_proj_bias")]),
+        "out_proj": _dense(sd, _join(prefix, "out_proj")),
     }
 
 

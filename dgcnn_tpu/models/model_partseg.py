@@ -111,6 +111,9 @@ class Net(nn.Module):
                 self.ff_dims, self.dropout, ax, name="transformer",
             )(src_e, tgt_e, src, train)
         else:
+            # activations mirror the reference's *effective* behaviour (see
+            # torch_transformer.py docstring: torch's layer cloning keeps the
+            # requested LeakyReLU in the encoder but resets decoders to relu)
             transformer = TorchTransformer(
                 d_model=self.emb_dim,
                 nhead=self.n_heads,
@@ -118,6 +121,8 @@ class Net(nn.Module):
                 num_decoder_layers=self.n_blocks,
                 dim_feedforward=self.ff_dims,
                 dropout=self.dropout,
+                encoder_activation="leaky_relu",
+                decoder_activation="relu",
                 name="transformer",
             )
             src_p = transformer(src_e, tgt_e, train)

@@ -5,8 +5,17 @@ reference models/model_partseg.py:167-171), in channels-last flax.linen.
 Semantics matched: batch_first layout, post-LayerNorm residual blocks
 (norm_first=False), packed qkv input projection + output projection with bias,
 dropout on attention weights and residual branches, final LayerNorm after both
-encoder and decoder stacks, LeakyReLU(0.2) feed-forward activation (the
-reference passes ``activation=nn.LeakyReLU(0.2)``).
+encoder and decoder stacks.
+
+Feed-forward activation quirk (verified empirically against torch): the
+reference passes ``activation=nn.LeakyReLU(0.2)`` (model_partseg.py:170), but
+``nn.Transformer`` clones its layers with ``copy.deepcopy`` and
+``TransformerDecoderLayer``'s ``__setstate__`` resets a Module-instance
+activation to ``F.relu`` while the encoder clones keep the module — so the
+reference's trained model effectively ran **LeakyReLU(0.2) in the encoder and
+relu in the decoder**.  ``TorchTransformer`` therefore takes per-stack
+``encoder_activation`` / ``decoder_activation`` (both default "relu", the
+torch default); the fusion Net passes the reference-effective combination.
 """
 from __future__ import annotations
 
@@ -68,12 +77,17 @@ class _FeedForward(nn.Module):
     d_model: int
     dim_feedforward: int
     dropout: float
-    negative_slope: float = 0.2
+    activation: str = "relu"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         x = nn.Dense(self.dim_feedforward, name="linear1")(x)
-        x = leaky_relu(x, self.negative_slope)
+        if self.activation == "relu":
+            x = nn.relu(x)
+        elif self.activation == "leaky_relu":
+            x = leaky_relu(x, 0.2)
+        else:
+            raise ValueError(self.activation)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return nn.Dense(self.d_model, name="linear2")(x)
 
@@ -83,19 +97,21 @@ class TorchTransformerEncoderLayer(nn.Module):
     nhead: int
     dim_feedforward: int = 2048
     dropout: float = 0.1
+    activation: str = "relu"
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         sa = TorchMultiheadAttention(
             self.d_model, self.nhead, self.dropout, name="self_attn"
         )(x, x, x, train)
-        x = nn.LayerNorm(name="norm1")(
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(
             x + nn.Dropout(self.dropout, deterministic=not train)(sa)
         )
         ff = _FeedForward(
-            self.d_model, self.dim_feedforward, self.dropout, name="ff"
+            self.d_model, self.dim_feedforward, self.dropout,
+            self.activation, name="ff"
         )(x, train)
-        return nn.LayerNorm(name="norm2")(
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(
             x + nn.Dropout(self.dropout, deterministic=not train)(ff)
         )
 
@@ -105,6 +121,7 @@ class TorchTransformerDecoderLayer(nn.Module):
     nhead: int
     dim_feedforward: int = 2048
     dropout: float = 0.1
+    activation: str = "relu"
 
     @nn.compact
     def __call__(
@@ -113,19 +130,20 @@ class TorchTransformerDecoderLayer(nn.Module):
         sa = TorchMultiheadAttention(
             self.d_model, self.nhead, self.dropout, name="self_attn"
         )(x, x, x, train)
-        x = nn.LayerNorm(name="norm1")(
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(
             x + nn.Dropout(self.dropout, deterministic=not train)(sa)
         )
         ca = TorchMultiheadAttention(
             self.d_model, self.nhead, self.dropout, name="multihead_attn"
         )(x, memory, memory, train)
-        x = nn.LayerNorm(name="norm2")(
+        x = nn.LayerNorm(epsilon=1e-5, name="norm2")(
             x + nn.Dropout(self.dropout, deterministic=not train)(ca)
         )
         ff = _FeedForward(
-            self.d_model, self.dim_feedforward, self.dropout, name="ff"
+            self.d_model, self.dim_feedforward, self.dropout,
+            self.activation, name="ff"
         )(x, train)
-        return nn.LayerNorm(name="norm3")(
+        return nn.LayerNorm(epsilon=1e-5, name="norm3")(
             x + nn.Dropout(self.dropout, deterministic=not train)(ff)
         )
 
@@ -141,6 +159,8 @@ class TorchTransformer(nn.Module):
     num_decoder_layers: int = 6
     dim_feedforward: int = 2048
     dropout: float = 0.1
+    encoder_activation: str = "relu"
+    decoder_activation: str = "relu"
 
     @nn.compact
     def __call__(
@@ -153,9 +173,10 @@ class TorchTransformer(nn.Module):
                 self.nhead,
                 self.dim_feedforward,
                 self.dropout,
+                self.encoder_activation,
                 name=f"encoder_layer_{i}",
             )(mem, train)
-        mem = nn.LayerNorm(name="encoder_norm")(mem)
+        mem = nn.LayerNorm(epsilon=1e-5, name="encoder_norm")(mem)
         out = tgt
         for i in range(self.num_decoder_layers):
             out = TorchTransformerDecoderLayer(
@@ -163,6 +184,7 @@ class TorchTransformer(nn.Module):
                 self.nhead,
                 self.dim_feedforward,
                 self.dropout,
+                self.decoder_activation,
                 name=f"decoder_layer_{i}",
             )(out, mem, train)
-        return nn.LayerNorm(name="decoder_norm")(out)
+        return nn.LayerNorm(epsilon=1e-5, name="decoder_norm")(out)

@@ -1,0 +1,70 @@
+"""Checkpoint save/load (SURVEY.md §5 checkpoint/resume).
+
+Mirrors the reference's three formats in a JAX-native serialization
+(flax msgpack; no pickles):
+  (a)/(b) bare model variables  -> ``<name>.t7.msgpack``
+          (reference main_cls.py:152, main_partseg.py:167)
+  (c) full train checkpoints ``{epoch, state, loss}`` with optimizer +
+      schedule step inside the optax state -> ``ckpt[_<epoch>].checkpoint``
+      (reference main_partseg_dist.py:364-395; the step counter lives in the
+      TrainState so resume restores the schedule exactly — the reference's
+      scheduler_state_dict equivalent).
+
+The reference's resume path has a latent bug (existence check on
+``checkpoints/ckpt.checkpoint`` but load from ``ckpt.checkpoint`` —
+main_partseg_dist.py:182-185); here both use the same path.
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def save_model(path: str, variables: Dict[str, Any]) -> None:
+    """Save bare model variables ({params, batch_stats})."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    host = jax.device_get(variables)
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(host))
+
+
+def load_model(path: str) -> Dict[str, Any]:
+    with open(path, "rb") as f:
+        return serialization.msgpack_restore(f.read())
+
+
+def save_train_checkpoint(
+    path: str, state, epoch: int, loss: float, extra: Optional[dict] = None
+) -> None:
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+        "epoch": np.int64(epoch),
+        "loss": np.float64(loss),
+        "step": jax.device_get(state.step),
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        # optimizer states are NamedTuple pytrees; flatten to plain dicts
+        "opt_state": serialization.to_state_dict(jax.device_get(state.opt_state)),
+        "extra": extra or {},
+    }
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+
+
+def load_train_checkpoint(path: str, state) -> Tuple[Any, int, float]:
+    """Restore a TrainState (template ``state`` supplies the pytree structure
+    for the optimizer state) -> (state, epoch, loss)."""
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    opt_state = serialization.from_state_dict(state.opt_state, payload["opt_state"])
+    restored = state.replace(
+        step=jax.numpy.asarray(payload["step"]),
+        params=payload["params"],
+        batch_stats=payload["batch_stats"],
+        opt_state=opt_state,
+    )
+    return restored, int(payload["epoch"]), float(payload["loss"])

@@ -1,0 +1,194 @@
+"""Generic train/eval step factories (SURVEY.md §7 layer 4).
+
+One step-fn factory covers every reference engine (main_cls.py:44-153,
+main_partseg_dist.py:159-361, main_semseg.py:150-277): forward + label-smoothed
+CE + backward + optimizer + per-batch schedule, all inside a single jit with
+device-side metric outputs (the reference does per-batch D2H copies for its
+metric accumulation — SURVEY.md §3.5 #6).
+
+The reference's AMP fp16 + GradScaler (main_partseg_dist.py:221, 253-265) has
+no TPU equivalent or need: matmuls run with bf16 multiplies under XLA's default
+precision while parameters, accumulations and the optimizer stay f32, so there
+is no loss-scale underflow problem to manage.
+
+Data parallelism: jit these steps with a batch-sharded in_sharding over a
+``Mesh`` (see dgcnn_tpu.parallel) — gradient all-reduce and global BatchNorm
+statistics are inserted by GSPMD, replacing DDP + SyncBatchNorm.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from dgcnn_tpu.train.loss import cross_entropy
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    apply_fn: Callable = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, *, apply_fn, params, batch_stats, tx):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=tx.init(params),
+            tx=tx,
+            apply_fn=apply_fn,
+        )
+
+
+def make_optimizer(
+    *,
+    use_sgd: bool,
+    schedule: Callable,
+    momentum: float = 0.9,
+    weight_decay: float = 1e-4,
+    adamw: bool = False,
+) -> optax.GradientTransformation:
+    """Reference optimizer configs: SGD(lr*100, momentum, wd 1e-4) with
+    L2-coupled decay (main_cls.py:67), Adam(lr, wd 1e-4) L2-coupled
+    (main_cls.py:70), AdamW(lr, wd 1e-4) decoupled (main_partseg_dist.py:205).
+    The lr x100 convention is applied by the schedule (schedules.make_schedule).
+    """
+    if use_sgd:
+        return optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.trace(decay=momentum, nesterov=False),
+            optax.scale_by_learning_rate(schedule),
+        )
+    if adamw:
+        return optax.adamw(schedule, weight_decay=weight_decay)
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_adam(),
+        optax.scale_by_learning_rate(schedule),
+    )
+
+
+def make_cls_steps(model, smoothing: bool = True):
+    """(train_step, eval_step) for classification models taking (points,).
+
+    train_step(state, points, labels, rng) -> (state, {loss, preds})
+    eval_step(state, points, labels)       -> {loss, preds}
+    """
+
+    def loss_fn(params, batch_stats, points, labels, rng):
+        logits, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            points,
+            train=True,
+            rngs={"dropout": rng},
+            mutable=["batch_stats"],
+        )
+        return cross_entropy(logits, labels, smoothing), (
+            logits,
+            updates["batch_stats"],
+        )
+
+    @jax.jit
+    def train_step(state: TrainState, points, labels, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, points, labels, rng)
+        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        )
+        return state, {"loss": loss, "preds": jnp.argmax(logits, -1)}
+
+    @jax.jit
+    def eval_step(state: TrainState, points, labels):
+        logits = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            points,
+            train=False,
+        )
+        return {
+            "loss": cross_entropy(logits, labels, smoothing),
+            "preds": jnp.argmax(logits, -1),
+        }
+
+    return train_step, eval_step
+
+
+def make_seg_steps(model, smoothing: bool = True, with_label: bool = True):
+    """(train_step, eval_step) for segmentation models.
+
+    ``with_label``: partseg models take (points, category_one_hot); semseg
+    models take (points,) only.  Logits are per-point (B, N, C); loss flattens
+    (reference main_partseg_dist.py:256).
+    """
+
+    def fwd(params, batch_stats, points, label_one_hot, train, rng):
+        args = (points, label_one_hot) if with_label else (points,)
+        kwargs = dict(train=train)
+        if train:
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                *args,
+                rngs={"dropout": rng},
+                mutable=["batch_stats"],
+                **kwargs,
+            )
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, *args, **kwargs
+        ), None
+
+    def loss_fn(params, batch_stats, points, label_one_hot, seg, rng):
+        logits, updates = fwd(params, batch_stats, points, label_one_hot, True, rng)
+        loss = cross_entropy(logits, seg, smoothing)
+        return loss, (logits, updates["batch_stats"])
+
+    def _train(state: TrainState, points, label_one_hot, seg, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, points, label_one_hot, seg, rng)
+        updates, new_opt = state.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        )
+        return state, {"loss": loss, "preds": jnp.argmax(logits, -1)}
+
+    def _eval(state: TrainState, points, label_one_hot, seg):
+        logits, _ = fwd(
+            state.params, state.batch_stats, points, label_one_hot, False, None
+        )
+        return {
+            "loss": cross_entropy(logits, seg, smoothing),
+            "preds": jnp.argmax(logits, -1),
+        }
+
+    if with_label:
+        def train_step(state, points, label_one_hot, seg, rng):
+            return _train(state, points, label_one_hot, seg, rng)
+
+        def eval_step(state, points, label_one_hot, seg):
+            return _eval(state, points, label_one_hot, seg)
+    else:
+        def train_step(state, points, seg, rng):
+            return _train(state, points, None, seg, rng)
+
+        def eval_step(state, points, seg):
+            return _eval(state, points, None, seg)
+
+    return jax.jit(train_step), jax.jit(eval_step)

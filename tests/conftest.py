@@ -7,12 +7,9 @@ pod is needed.  Must run before jax is imported anywhere.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; platform selection
+# must go through jax.config (see below).
+os.environ["JAX_PLATFORMS"] = "cpu"
 
 # Repo root on sys.path so `import dgcnn_tpu` works without installation.
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -23,6 +20,14 @@ if _REPO_ROOT not in sys.path:
 from dgcnn_tpu.utils.cache import enable_compilation_cache  # noqa: E402
 
 enable_compilation_cache()
+
+# jax >= 0.5 ignores --xla_force_host_platform_device_count, and this
+# environment's axon plugin ignores JAX_PLATFORMS — the config route is the
+# one that sticks: CPU backend with 8 virtual devices.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import pytest  # noqa: E402
 

@@ -1,0 +1,86 @@
+"""End-to-end CLI slices on synthetic fixture data (SURVEY.md §7 minimum
+slice + engine loops).  Tiny shapes to keep 1-core XLA compiles tolerable."""
+import os
+
+import numpy as np
+import pytest
+
+from dgcnn_tpu.data import synthetic
+
+
+@pytest.fixture(scope="module")
+def data_env(tmp_path_factory, monkeypatch_module=None):
+    root = str(tmp_path_factory.mktemp("data"))
+    synthetic.make_all(root)
+    old_data = os.environ.get("DGCNN_TPU_DATA")
+    old_nd = os.environ.get("DGCNN_TPU_NO_DOWNLOAD")
+    os.environ["DGCNN_TPU_DATA"] = root
+    os.environ["DGCNN_TPU_NO_DOWNLOAD"] = "1"
+    cwd = os.getcwd()
+    work = str(tmp_path_factory.mktemp("work"))
+    os.chdir(work)
+    yield root
+    os.chdir(cwd)
+    for k, v in [("DGCNN_TPU_DATA", old_data), ("DGCNN_TPU_NO_DOWNLOAD", old_nd)]:
+        if v is None:
+            os.environ.pop(k, None)
+        else:
+            os.environ[k] = v
+
+
+def test_cls_train_and_eval_roundtrip(data_env):
+    from dgcnn_tpu.cli import cls
+
+    argv = [
+        "--exp_name=smoke_cls", "--epochs=1", "--batch_size=8",
+        "--test_batch_size=8", "--num_points=64", "--k=4", "--emb_dims=32",
+        "--use_sgd=False",
+    ]
+    cls.main(argv)
+    model_path = "outputs/smoke_cls/models/model.t7.msgpack"
+    assert os.path.exists(model_path)
+    assert os.path.exists("outputs/smoke_cls/run.log")
+    log = open("outputs/smoke_cls/run.log").read()
+    assert "Train 0" in log and "Test 0" in log
+
+    cls.main(argv + ["--eval=True", f"--model_path={model_path}"])
+    log = open("outputs/smoke_cls/run.log").read()
+    assert "Test :: test acc:" in log
+
+
+def test_partseg_train_then_eval_with_visu(data_env):
+    from dgcnn_tpu.cli import partseg
+
+    argv = [
+        "--exp_name=smoke_part", "--epochs=1", "--batch_size=8",
+        "--test_batch_size=8", "--num_points=64", "--k=4", "--emb_dim=32",
+        "--ff_dims=16", "--n_heads=2", "--n_blocks=1", "--use_sgd=False",
+        "--scheduler=cycle",
+    ]
+    partseg.main(argv)
+    # best checkpoint + rolling checkpoint written
+    assert os.path.exists("outputs/smoke_part/checkpoints/ckpt.checkpoint")
+    log = open("outputs/smoke_part/run.log").read()
+    assert "train iou:" in log and "test iou:" in log
+
+    # resume path restores without error
+    partseg.main(argv + ["--resume=True"])
+
+
+def test_semseg_train_smoke(data_env):
+    from dgcnn_tpu.cli import semseg
+
+    argv = [
+        "--exp_name=smoke_sem", "--epochs=1", "--batch_size=8",
+        "--test_batch_size=8", "--num_points=64", "--k=4", "--emb_dims=32",
+        "--test_area=6", "--use_sgd=False",
+    ]
+    semseg.main(argv)
+    assert os.path.exists(
+        "outputs/smoke_sem/models/model_6.t7.msgpack")
+    log = open("outputs/smoke_sem/run.log").read()
+    assert "train iou:" in log
+
+    semseg.main(argv + ["--eval=True", "--model_root=outputs/smoke_sem/models"])
+    log = open("outputs/smoke_sem/run.log").read()
+    assert "test area: 6" in log

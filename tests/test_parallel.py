@@ -1,0 +1,66 @@
+"""Multi-device tests on the virtual 8-device CPU mesh (SURVEY.md §4: the
+JAX-native fake backend for sharded code paths)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dgcnn_tpu.models import DGCNNSemSeg
+from dgcnn_tpu.parallel import jit_data_parallel, make_mesh
+from dgcnn_tpu.train import TrainState, make_optimizer, make_seg_steps
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _tiny_state_and_batch(n_dev):
+    model = DGCNNSemSeg(emb_dims=16, k=4, dropout=0.0)
+    rng = np.random.RandomState(0)
+    b = 2 * n_dev
+    pts = jnp.asarray(rng.rand(b, 16, 9).astype(np.float32))
+    seg = jnp.asarray(rng.randint(0, 13, size=(b, 16)))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, pts, train=False)
+    tx = make_optimizer(use_sgd=True, schedule=lambda _: 0.01)
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        tx=tx,
+    )
+    return model, state, pts, seg
+
+
+def test_sharded_train_step_matches_single_device():
+    """GSPMD-sharded step == single-device step bit-for-bit-tolerant: global
+    BN stats and grad all-reduce must reproduce the unsharded computation."""
+    n_dev = 8
+    model, state, pts, seg = _tiny_state_and_batch(n_dev)
+    train_step, _ = make_seg_steps(model, with_label=False)
+
+    single = jax.jit(train_step)
+    s1, m1 = single(state, pts, seg, jax.random.PRNGKey(1))
+
+    mesh = make_mesh(jax.devices()[:n_dev])
+    call = jit_data_parallel(train_step, mesh, n_sharded=2, donate_state=False)
+    s2, m2 = call(state, pts, seg, jax.random.PRNGKey(1))
+
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-5
+    )
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+    # BN running stats (SyncBatchNorm semantics) must also agree
+    for a, b in zip(
+        jax.tree.leaves(s1.batch_stats), jax.tree.leaves(s2.batch_stats)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)

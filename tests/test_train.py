@@ -1,0 +1,193 @@
+"""Tests for loss / metrics / schedules / engine (SURVEY.md §4 gap-closing)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dgcnn_tpu.train import (
+    TrainState,
+    accuracy_score,
+    balanced_accuracy_score,
+    calculate_sem_IoU,
+    calculate_shape_IoU,
+    cross_entropy,
+    make_cls_steps,
+    make_optimizer,
+    make_schedule,
+    shape_iou_device,
+)
+from tests.conftest import has_torch, requires_reference
+
+
+@requires_reference
+def test_loss_matches_reference():
+    import sys
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import torch
+    from loss import cross_entropy as ref_ce
+
+    rng = np.random.RandomState(0)
+    logits = rng.randn(40, 13).astype(np.float32)
+    gold = rng.randint(0, 13, size=40)
+    for smoothing in [True, False]:
+        want = ref_ce(
+            torch.from_numpy(logits), torch.from_numpy(gold), smoothing
+        ).item()
+        got = float(cross_entropy(jnp.asarray(logits), jnp.asarray(gold), smoothing))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_metrics_match_sklearn():
+    import sklearn.metrics as skm
+
+    rng = np.random.RandomState(1)
+    y_true = rng.randint(0, 7, 300)
+    y_pred = rng.randint(0, 7, 300)
+    np.testing.assert_allclose(
+        accuracy_score(y_true, y_pred), skm.accuracy_score(y_true, y_pred)
+    )
+    np.testing.assert_allclose(
+        balanced_accuracy_score(y_true, y_pred),
+        skm.balanced_accuracy_score(y_true, y_pred),
+    )
+
+
+def test_shape_iou_golden():
+    # category 1 (bag): parts 4,5.  Shape 0: perfect -> IoU 1.
+    pred = np.array([[4, 4, 5, 5], [4, 4, 4, 4]])
+    seg = np.array([[4, 4, 5, 5], [4, 5, 5, 4]])
+    label = np.array([[1], [1]])
+    ious = calculate_shape_IoU(pred, seg, label, None)
+    # shape 1: part4 I=2,U=4 -> .5 ; part5 I=0,U=3 -> 0 ; mean .25
+    np.testing.assert_allclose(ious, [1.0, 0.25])
+
+
+def test_shape_iou_device_matches_host():
+    rng = np.random.RandomState(2)
+    label = rng.randint(0, 16, size=(6, 1))
+    from dgcnn_tpu.train.metrics import INDEX_START, SEG_NUM
+
+    pred = np.stack([
+        rng.randint(INDEX_START[int(c)], INDEX_START[int(c)] + SEG_NUM[int(c)],
+                    size=32)
+        for c in label[:, 0]
+    ])
+    seg = np.stack([
+        rng.randint(INDEX_START[int(c)], INDEX_START[int(c)] + SEG_NUM[int(c)],
+                    size=32)
+        for c in label[:, 0]
+    ])
+    host = calculate_shape_IoU(pred, seg, label, None)
+    dev = np.asarray(
+        shape_iou_device(jnp.asarray(pred), jnp.asarray(seg),
+                         jnp.asarray(label[:, 0]))
+    )
+    np.testing.assert_allclose(dev, host, atol=1e-6)
+
+
+def test_sem_iou_golden():
+    pred = np.array([[0, 0, 1, 2]])
+    seg = np.array([[0, 1, 1, 1]])
+    iou = calculate_sem_IoU(pred, seg)
+    assert iou[0] == 0.5          # I=1, U=2
+    np.testing.assert_allclose(iou[1], 1 / 3)  # I=1, U=3
+
+
+@pytest.mark.skipif(not has_torch(), reason="torch unavailable")
+@pytest.mark.parametrize("name", ["cos", "step", "cycle"])
+def test_schedules_match_torch(name):
+    import torch
+
+    base_lr, epochs, spe = 0.001, 10, 7
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=base_lr * 100)
+    if name == "cos":
+        sch = torch.optim.lr_scheduler.CosineAnnealingLR(opt, epochs, eta_min=1e-3)
+    elif name == "step":
+        sch = torch.optim.lr_scheduler.StepLR(opt, step_size=20, gamma=0.7)
+    else:
+        sch = torch.optim.lr_scheduler.OneCycleLR(
+            opt, max_lr=base_lr * 100, epochs=epochs, steps_per_epoch=spe
+        )
+    ours = make_schedule(name, base_lr, epochs=epochs, steps_per_epoch=spe,
+                         use_sgd=True)
+    torch_lrs, our_lrs = [], []
+    step = 0
+    for _ in range(epochs):
+        for _ in range(spe):
+            torch_lrs.append(opt.param_groups[0]["lr"])
+            our_lrs.append(float(ours(step)))
+            if name == "cycle":
+                opt.step()
+                sch.step()
+            step += 1
+        if name != "cycle":
+            opt.step()
+            sch.step()
+    np.testing.assert_allclose(our_lrs, torch_lrs, rtol=2e-4, atol=1e-8)
+
+
+def test_cls_engine_overfits_two_samples():
+    """2-sample overfit smoke loop — the reference's notebook verification
+    strategy (test.ipynb cells 51-55, SURVEY.md §4)."""
+    from dgcnn_tpu.models import DGCNNCls
+
+    model = DGCNNCls(emb_dims=16, k=4, output_channels=4, dropout=0.0)
+    rng = np.random.RandomState(3)
+    pts = jnp.asarray(rng.randn(2, 16, 3).astype(np.float32))
+    labels = jnp.asarray(np.array([0, 3]))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0)}, pts, train=False
+    )
+    tx = make_optimizer(use_sgd=False, schedule=lambda _: 5e-3)
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        tx=tx,
+    )
+    train_step, eval_step = make_cls_steps(model)
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(60):
+        state, m = train_step(state, pts, labels, key)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0] * 0.7, losses[::10]
+    out = eval_step(state, pts, labels)
+    assert (np.asarray(out["preds"]) == np.asarray(labels)).all()
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from dgcnn_tpu.models import DGCNNCls
+    from dgcnn_tpu.train import (
+        load_train_checkpoint,
+        save_train_checkpoint,
+        save_model,
+        load_model,
+    )
+
+    model = DGCNNCls(emb_dims=16, k=4, output_channels=4)
+    rng = np.random.RandomState(4)
+    pts = jnp.asarray(rng.randn(2, 16, 3).astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, pts, train=False)
+    tx = make_optimizer(use_sgd=False, schedule=lambda _: 1e-3)
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        tx=tx,
+    )
+    p = str(tmp_path / "ckpt.checkpoint")
+    save_train_checkpoint(p, state, epoch=7, loss=0.123)
+    restored, epoch, loss = load_train_checkpoint(p, state)
+    assert epoch == 7 and abs(loss - 0.123) < 1e-9
+    a = jax.tree.leaves(state.params)
+    b = jax.tree.leaves(restored.params)
+    assert all(np.allclose(x, y) for x, y in zip(a, b))
+
+    mp = str(tmp_path / "model.t7.msgpack")
+    save_model(mp, variables)
+    loaded = load_model(mp)
+    assert set(loaded.keys()) == {"params", "batch_stats"}
