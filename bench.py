@@ -4,11 +4,18 @@
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-vs_baseline: the reference publishes no throughput numbers (SURVEY.md §6);
-the PyTorch-GPU denominator is the commonly measured DGCNN inference rate on
-the CUDA-10-era GPUs the reference targeted (~batch 32 in ~60 ms on a
-1080Ti-class card => ~500 clouds/sec).  BASELINE.json's north-star is >=10x
-that on a v5e chip, i.e. vs_baseline >= 10.
+Measurement notes:
+  * On the axon-tunnelled TPU, ``block_until_ready`` returns before remote
+    execution completes, so naive dispatch loops measure nothing.  The bench
+    chains ``ITERS`` forwards inside one jitted ``lax.fori_loop`` (each
+    iteration's input perturbed by the previous output so nothing folds away)
+    and forces a scalar host readback; RPC overhead is removed by
+    differencing a 1-iteration run.
+  * vs_baseline: the reference publishes no throughput numbers (SURVEY.md
+    §6); the denominator is the commonly measured DGCNN inference rate on the
+    CUDA-10-era GPUs the reference targeted (~batch 32 in ~60 ms on a
+    1080Ti-class card => ~500 clouds/sec).  BASELINE.json's north-star is
+    >=10x that on a v5e chip, i.e. vs_baseline >= 10.
 """
 from __future__ import annotations
 
@@ -44,21 +51,30 @@ def main() -> None:
     variables = model.init({"params": jax.random.PRNGKey(0)}, points,
                            train=False)
 
-    @jax.jit
-    def forward(v, pts):
-        return model.apply(v, pts, train=False)
+    def chained(v, pts, iters):
+        def body(_, carry):
+            acc, p = carry
+            out = model.apply(v, p, train=False)
+            s = jnp.sum(out) * 1e-12
+            # feed a data dependency back so iterations can't be elided
+            return acc + s, pts + s
+        acc, _ = jax.lax.fori_loop(0, iters, body, (jnp.float32(0), pts))
+        return acc
 
-    # warmup/compile
-    forward(variables, points).block_until_ready()
-    forward(variables, points).block_until_ready()
+    run = jax.jit(chained, static_argnums=(2,))
 
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = forward(variables, points)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+    def timed(iters: int) -> float:
+        t0 = time.perf_counter()
+        float(run(variables, points, iters))  # host readback = completion
+        return time.perf_counter() - t0
 
-    clouds_per_sec = BATCH * ITERS / dt
+    timed(1)            # compile 1-iter variant
+    timed(ITERS)        # compile N-iter variant
+    base = min(timed(1) for _ in range(3))
+    total = min(timed(ITERS) for _ in range(3))
+    per_iter = (total - base) / (ITERS - 1)
+
+    clouds_per_sec = BATCH / per_iter
     print(json.dumps({
         "metric": f"ModelNet40 DGCNN-cls inference clouds/sec/chip "
                   f"({NUM_POINTS} pts, k={K}, batch {BATCH})",

@@ -41,10 +41,11 @@ class DGCNN(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         ax = self.axis_name
-        x1 = EdgeConv(64, axis_name=ax, name="conv1")(x, knn(x, self.k), train)
-        x2 = EdgeConv(64, axis_name=ax, name="conv2")(x1, knn(x1, self.k), train)
-        x3 = EdgeConv(128, axis_name=ax, name="conv3")(x2, knn(x2, self.k), train)
-        x4 = EdgeConv(256, axis_name=ax, name="conv4")(x3, knn(x3, self.k), train)
+        kk = self.k
+        x1 = EdgeConv(64, axis_name=ax, name="conv1")(x, train=train, graph=x, k=kk)
+        x2 = EdgeConv(64, axis_name=ax, name="conv2")(x1, train=train, graph=x1, k=kk)
+        x3 = EdgeConv(128, axis_name=ax, name="conv3")(x2, train=train, graph=x2, k=kk)
+        x4 = EdgeConv(256, axis_name=ax, name="conv4")(x3, train=train, graph=x3, k=kk)
         cat = jnp.concatenate([x1, x2, x3, x4], axis=-1)  # (B, N, 512)
         return ConvBN(self.emb_dims, axis_name=ax, name="conv5")(cat, train)
 
@@ -113,10 +114,11 @@ class DGCNNCls(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         ax = self.axis_name
-        x1 = EdgeConv(64, axis_name=ax, name="conv1")(x, knn(x, self.k), train)
-        x2 = EdgeConv(64, axis_name=ax, name="conv2")(x1, knn(x1, self.k), train)
-        x3 = EdgeConv(128, axis_name=ax, name="conv3")(x2, knn(x2, self.k), train)
-        x4 = EdgeConv(256, axis_name=ax, name="conv4")(x3, knn(x3, self.k), train)
+        kk = self.k
+        x1 = EdgeConv(64, axis_name=ax, name="conv1")(x, train=train, graph=x, k=kk)
+        x2 = EdgeConv(64, axis_name=ax, name="conv2")(x1, train=train, graph=x1, k=kk)
+        x3 = EdgeConv(128, axis_name=ax, name="conv3")(x2, train=train, graph=x2, k=kk)
+        x4 = EdgeConv(256, axis_name=ax, name="conv4")(x3, train=train, graph=x3, k=kk)
         cat = jnp.concatenate([x1, x2, x3, x4], axis=-1)
         h = ConvBN(self.emb_dims, axis_name=ax, name="conv5")(cat, train)
         pooled = jnp.concatenate(
@@ -191,8 +193,8 @@ class DGCNNPartSeg(nn.Module):
         h = ConvBN(64, axis_name=ax, name="conv4")(h, train)
         x2 = jnp.max(h, axis=2)
 
-        idx = knn(x2, self.k)
-        x3 = EdgeConv(64, axis_name=ax, name="conv5")(x2, idx, train)
+        x3 = EdgeConv(64, axis_name=ax, name="conv5")(x2, train=train,
+                                                      graph=x2, k=self.k)
 
         cat = jnp.concatenate([x1, x2, x3], axis=-1)          # (B, N, 192)
         g = ConvBN(self.emb_dims, axis_name=ax, name="conv6")(cat, train)
@@ -242,8 +244,8 @@ class DGCNNSemSeg(nn.Module):
         h = ConvBN(64, axis_name=ax, name="conv4")(h, train)
         x2 = jnp.max(h, axis=2)
 
-        idx = knn(x2, self.k)
-        x3 = EdgeConv(64, axis_name=ax, name="conv5")(x2, idx, train)
+        x3 = EdgeConv(64, axis_name=ax, name="conv5")(x2, train=train,
+                                                      graph=x2, k=self.k)
 
         cat = jnp.concatenate([x1, x2, x3], axis=-1)          # (B, N, 192)
         g = ConvBN(self.emb_dims, axis_name=ax, name="conv6")(cat, train)

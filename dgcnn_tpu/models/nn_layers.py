@@ -102,7 +102,22 @@ class EdgeConv(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, idx: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(
+        self,
+        x: jax.Array,
+        idx: Optional[jax.Array] = None,
+        train: bool = False,
+        *,
+        graph: Optional[jax.Array] = None,
+        k: Optional[int] = None,
+    ) -> jax.Array:
+        """Either pass precomputed neighbour ``idx`` (B, N, k), or pass the
+        ``graph`` tensor + ``k`` and let the layer build the graph itself — on
+        TPU in eval mode the latter runs the fully fused Pallas
+        knn+select+reduce kernel (ops/pallas_knn.py): no top-k sort, no edge
+        tensor, no HBM gather."""
+        from dgcnn_tpu.ops.knn import knn, use_pallas
+
         in_feat = x.shape[-1]
         init = nn.initializers.lecun_normal()
         w_nbr = self.param("w_nbr", init, (in_feat, self.features))
@@ -115,6 +130,29 @@ class EdgeConv(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
         )
+
+        if idx is None:
+            assert graph is not None and k is not None, (
+                "EdgeConv needs either idx or (graph, k)"
+            )
+            fused_eligible = (
+                self.pool and not train and use_pallas(graph.shape[1])
+            )
+            if fused_eligible:
+                from dgcnn_tpu.ops.pallas_knn import fused_knn_reduce
+
+                a = edge_conv._project(x, w_nbr)
+                b = edge_conv._project(x, w_ctr)
+                _, amax, amin, _ = fused_knn_reduce(
+                    graph, a, k, select_dtype=jnp.float32
+                )
+                s, t = edge_conv.fold_bn(
+                    scale, bias, ra_mean.value, ra_var.value, self.eps
+                )
+                sel = jnp.where(s > 0, amax, amin) + b
+                y = sel * s + t
+                return leaky_relu(y, self.negative_slope)
+            idx = knn(graph, k)
 
         if train:
             mean, var = edge_conv.edge_conv_batch_stats(x, idx, w_nbr, w_ctr)

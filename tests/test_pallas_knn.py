@@ -1,0 +1,59 @@
+"""Fused Pallas kernel tests (interpret mode on CPU — bit-exact vs XLA path;
+the real-TPU compile/perf path is exercised by bench.py and the driver)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dgcnn_tpu.ops import gather_neighbors, pairwise_neg_sqdist
+from dgcnn_tpu.ops.pallas_knn import fused_knn_reduce, knn_pallas
+
+
+def _xla_knn(x, k):
+    scores = pairwise_neg_sqdist(x)
+    return jax.lax.top_k(scores, k)[1].astype(jnp.int32)
+
+
+def test_knn_pallas_matches_xla_interpret():
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 256, 8).astype(np.float32))
+    ref = np.asarray(_xla_knn(x, 7))
+    got = np.asarray(knn_pallas(x, 7, interpret=True))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_fused_reduce_matches_gather_interpret():
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 128, 16).astype(np.float32))
+    a = jnp.asarray(rng.randn(2, 128, 32).astype(np.float32))
+    k = 6
+    idx, amax, amin, asum = fused_knn_reduce(
+        x, a, k, select_dtype=jnp.float32, interpret=True
+    )
+    ref_idx = np.asarray(_xla_knn(x, k))
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+    ag = np.asarray(gather_neighbors(a, jnp.asarray(ref_idx)))
+    np.testing.assert_allclose(np.asarray(amax), ag.max(2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(amin), ag.min(2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(asum), ag.sum(2), atol=1e-5)
+
+
+def test_fused_reduce_graph_differs_from_features():
+    """DGCNNSemSeg's first block: graph from channels 6:9, features all 9."""
+    rng = np.random.RandomState(2)
+    g = jnp.asarray(rng.randn(1, 128, 3).astype(np.float32))
+    a = jnp.asarray(rng.randn(1, 128, 16).astype(np.float32))
+    idx, amax, _, _ = fused_knn_reduce(
+        g, a, 4, select_dtype=jnp.float32, interpret=True
+    )
+    ref_idx = np.asarray(_xla_knn(g, 4))
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+    ag = np.asarray(gather_neighbors(a, jnp.asarray(ref_idx)))
+    np.testing.assert_allclose(np.asarray(amax), ag.max(2), atol=1e-6)
+
+
+def test_unaligned_n_rejected():
+    x = jnp.zeros((1, 100, 3))
+    with pytest.raises(AssertionError):
+        knn_pallas(x, 4, interpret=True)
