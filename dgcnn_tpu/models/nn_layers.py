@@ -131,45 +131,63 @@ class EdgeConv(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
         )
 
+        def update_running(mean, var, count):
+            if self.is_initializing():
+                return
+            if self.axis_name is not None:
+                count *= jax.lax.psum(1, self.axis_name)
+            m = self.momentum
+            unbiased = var * (count / max(count - 1, 1))
+            ra_mean.value = (1 - m) * ra_mean.value + m * mean
+            ra_var.value = (1 - m) * ra_var.value + m * unbiased
+
+        def cross_replica(mean, var):
+            if self.axis_name is None:
+                return mean, var
+            e2 = jax.lax.pmean(var + jnp.square(mean), self.axis_name)
+            mean = jax.lax.pmean(mean, self.axis_name)
+            return mean, jnp.maximum(e2 - jnp.square(mean), 0.0)
+
         if idx is None:
             assert graph is not None and k is not None, (
                 "EdgeConv needs either idx or (graph, k)"
             )
-            fused_eligible = (
-                self.pool and not train and use_pallas(graph.shape[1])
-            )
-            if fused_eligible:
-                from dgcnn_tpu.ops.pallas_knn import fused_knn_reduce
+            if self.pool and use_pallas(graph.shape[1]):
+                # fully fused Pallas path (both train and eval)
+                from dgcnn_tpu.ops.pallas_knn import (
+                    fused_knn_reduce,
+                    knn_edge_reduce,
+                )
 
                 a = edge_conv._project(x, w_nbr)
                 b = edge_conv._project(x, w_ctr)
-                _, amax, amin, _ = fused_knn_reduce(
-                    graph, a, k, select_dtype=jnp.float32
-                )
-                s, t = edge_conv.fold_bn(
-                    scale, bias, ra_mean.value, ra_var.value, self.eps
-                )
+                if train:
+                    _, amax, amin, asum, asumsq = knn_edge_reduce(graph, a, k)
+                    # BN stats of the virtual edge tensor from kernel sums
+                    mean_ag = jnp.mean(asum, axis=(0, 1)) / k
+                    mean = mean_ag + jnp.mean(b, axis=(0, 1))
+                    e_ag2 = jnp.mean(asumsq, axis=(0, 1)) / k
+                    e_ab = jnp.mean(asum / k * b, axis=(0, 1))
+                    e_b2 = jnp.mean(jnp.square(b), axis=(0, 1))
+                    var = jnp.maximum(
+                        e_ag2 + 2 * e_ab + e_b2 - jnp.square(mean), 0.0
+                    )
+                    mean, var = cross_replica(mean, var)
+                    update_running(mean, var, x.shape[0] * x.shape[1] * k)
+                else:
+                    _, amax, amin, _ = fused_knn_reduce(
+                        graph, a, k, select_dtype=jnp.float32
+                    )
+                    mean, var = ra_mean.value, ra_var.value
+                s, t = edge_conv.fold_bn(scale, bias, mean, var, self.eps)
                 sel = jnp.where(s > 0, amax, amin) + b
-                y = sel * s + t
-                return leaky_relu(y, self.negative_slope)
+                return leaky_relu(sel * s + t, self.negative_slope)
             idx = knn(graph, k)
 
         if train:
             mean, var = edge_conv.edge_conv_batch_stats(x, idx, w_nbr, w_ctr)
-            if self.axis_name is not None:
-                e2 = jax.lax.pmean(var + jnp.square(mean), self.axis_name)
-                mean = jax.lax.pmean(mean, self.axis_name)
-                var = jnp.maximum(e2 - jnp.square(mean), 0.0)
-            if not self.is_initializing():
-                b, n = x.shape[0], x.shape[1]
-                k = idx.shape[-1]
-                cnt = b * n * k
-                if self.axis_name is not None:
-                    cnt *= jax.lax.psum(1, self.axis_name)
-                m = self.momentum
-                unbiased = var * (cnt / max(cnt - 1, 1))
-                ra_mean.value = (1 - m) * ra_mean.value + m * mean
-                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+            mean, var = cross_replica(mean, var)
+            update_running(mean, var, x.shape[0] * x.shape[1] * idx.shape[-1])
         else:
             mean, var = ra_mean.value, ra_var.value
 

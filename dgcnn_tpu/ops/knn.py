@@ -47,10 +47,13 @@ def use_pallas(n: int) -> bool:
     tile-aligned N, not explicitly disabled (DGCNN_TPU_PALLAS=0)."""
     import os
 
-    if os.environ.get("DGCNN_TPU_PALLAS", "auto") == "0":
+    mode = os.environ.get("DGCNN_TPU_PALLAS", "auto")
+    if mode == "0":
         return False
     if n % 128 != 0:
         return False
+    if mode == "1":  # force (interpret-mode on non-TPU backends; for tests)
+        return True
     try:
         return jax.default_backend() == "tpu"
     except RuntimeError:

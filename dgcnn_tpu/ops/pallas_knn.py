@@ -65,19 +65,20 @@ def _scores(xq, xall):
     return 2.0 * inner - qq - aa.T
 
 
-def _knn_reduce_kernel(k, select_dtype, q_ref, x_ref, a_ref,
-                       idx_ref, amax_ref, amin_ref, asum_ref):
+def _knn_reduce_kernel(k, select_dtype, with_sumsq, q_ref, x_ref, a_ref,
+                       idx_ref, amax_ref, amin_ref, asum_ref, *maybe_sq_ref):
     n = x_ref.shape[1]
     co = a_ref.shape[2]
     tile = q_ref.shape[1]
     scores = _scores(q_ref[0], x_ref[0])
     a = a_ref[0].astype(select_dtype)
 
-    amax = jnp.full((tile, co), -jnp.inf, jnp.float32)
-    amin = jnp.full((tile, co), jnp.inf, jnp.float32)
-    asum = jnp.zeros((tile, co), jnp.float32)
-
-    sel_state = {"amax": amax, "amin": amin, "asum": asum}
+    sel_state = {
+        "amax": jnp.full((tile, co), -jnp.inf, jnp.float32),
+        "amin": jnp.full((tile, co), jnp.inf, jnp.float32),
+        "asum": jnp.zeros((tile, co), jnp.float32),
+        "asumsq": jnp.zeros((tile, co), jnp.float32),
+    }
 
     def payload(onehot, t):
         sel = jax.lax.dot_general(
@@ -88,16 +89,29 @@ def _knn_reduce_kernel(k, select_dtype, q_ref, x_ref, a_ref,
         sel_state["amax"] = jnp.maximum(sel_state["amax"], sel)
         sel_state["amin"] = jnp.minimum(sel_state["amin"], sel)
         sel_state["asum"] = sel_state["asum"] + sel
+        if with_sumsq:
+            sel_state["asumsq"] = sel_state["asumsq"] + jnp.square(sel)
 
     idx = _extract_loop(scores, k, n, payload)
     idx_ref[0] = idx
     amax_ref[0] = sel_state["amax"]
     amin_ref[0] = sel_state["amin"]
     asum_ref[0] = sel_state["asum"]
+    if with_sumsq:
+        maybe_sq_ref[0][0] = sel_state["asumsq"]
+
+
+def _auto_interpret(interpret):
+    if interpret is not None:
+        return interpret
+    try:
+        return jax.default_backend() != "tpu"
+    except RuntimeError:
+        return True
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "select_dtype", "interpret")
+    jax.jit, static_argnames=("k", "select_dtype", "interpret", "with_sumsq")
 )
 def fused_knn_reduce(
     x: jax.Array,
@@ -105,7 +119,8 @@ def fused_knn_reduce(
     k: int,
     *,
     select_dtype=jnp.bfloat16,
-    interpret: bool = False,
+    interpret: bool | None = None,
+    with_sumsq: bool = False,
 ):
     """Fused kNN + neighbour-feature reductions.
 
@@ -113,11 +128,14 @@ def fused_knn_reduce(
       x: (B, N, C) points/features defining the graph.
       a: (B, N, Co) projected features to reduce over each neighbourhood
          (EdgeConv's ``x @ w_nbr``).
+      with_sumsq: also return the per-neighbourhood sum of squares (training
+         BatchNorm statistics).
     Returns:
       idx  (B, N, k) int32 neighbour indices (self first, torch tie order),
       amax (B, N, Co) max  over the k neighbours of a,
       amin (B, N, Co) min  over the k neighbours of a,
-      asum (B, N, Co) sum  over the k neighbours of a.
+      asum (B, N, Co) sum  over the k neighbours of a,
+      [asumsq (B, N, Co) when with_sumsq].
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -127,13 +145,19 @@ def fused_knn_reduce(
     assert _supported(n), f"N={n} must be a multiple of {TILE_N}"
     grid = (b, n // TILE_N)
 
-    kernel = functools.partial(_knn_reduce_kernel, k, select_dtype)
-    out_shape = (
-        jax.ShapeDtypeStruct((b, n, k), jnp.int32),
-        jax.ShapeDtypeStruct((b, n, co), jnp.float32),
-        jax.ShapeDtypeStruct((b, n, co), jnp.float32),
-        jax.ShapeDtypeStruct((b, n, co), jnp.float32),
-    )
+    kernel = functools.partial(_knn_reduce_kernel, k, select_dtype, with_sumsq)
+    red = jax.ShapeDtypeStruct((b, n, co), jnp.float32)
+    red_spec = pl.BlockSpec((1, TILE_N, co), lambda bi, ti: (bi, ti, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((b, n, k), jnp.int32), red, red, red]
+    out_specs = [
+        pl.BlockSpec((1, TILE_N, k), lambda bi, ti: (bi, ti, 0),
+                     memory_space=pltpu.VMEM),
+        red_spec, red_spec, red_spec,
+    ]
+    if with_sumsq:
+        out_shape.append(red)
+        out_specs.append(red_spec)
     flops_sel = 2 * b * n * k * co + 2 * b * n * n * c
     return pl.pallas_call(
         kernel,
@@ -146,24 +170,62 @@ def fused_knn_reduce(
             pl.BlockSpec((1, n, co), lambda bi, ti: (bi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, TILE_N, k), lambda bi, ti: (bi, ti, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_N, co), lambda bi, ti: (bi, ti, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_N, co), lambda bi, ti: (bi, ti, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_N, co), lambda bi, ti: (bi, ti, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=out_shape,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         cost_estimate=pl.CostEstimate(
             flops=flops_sel,
             bytes_accessed=4 * (b * n * c + b * n * co * 4),
             transcendentals=0,
         ),
-        interpret=interpret,
+        interpret=_auto_interpret(interpret),
     )(x, x, a)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def knn_edge_reduce(xg: jax.Array, a: jax.Array, k: int):
+    """Differentiable fused kNN + reductions for the training path.
+
+    Forward = the Pallas kernel (with sum-of-squares for BN statistics).
+    Backward recomputes the small reduction graph from the saved indices with
+    XLA ops and differentiates it — identical cotangents to the XLA path
+    (neighbour indices are non-differentiable, like torch.topk).
+
+    Returns (idx, amax, amin, asum, asumsq).
+    """
+    return fused_knn_reduce(
+        xg, a, k, select_dtype=jnp.float32, with_sumsq=True
+    )
+
+
+def _ker_fwd(xg, a, k):
+    out = fused_knn_reduce(xg, a, k, select_dtype=jnp.float32, with_sumsq=True)
+    idx = out[0]
+    return out, (xg, a, idx)
+
+
+def _ker_bwd(k, res, cts):
+    from dgcnn_tpu.ops.graph import gather_neighbors
+
+    xg, a, idx = res
+    _, ct_max, ct_min, ct_sum, ct_sumsq = cts
+
+    def reductions(a_):
+        ag = gather_neighbors(a_, idx)
+        return (
+            jnp.max(ag, axis=2),
+            jnp.min(ag, axis=2),
+            jnp.sum(ag, axis=2),
+            jnp.sum(jnp.square(ag), axis=2),
+        )
+
+    _, vjp = jax.vjp(reductions, a)
+    (da,) = vjp((ct_max, ct_min, ct_sum, ct_sumsq))
+    # graph tensor receives no gradient through the (non-diff) neighbour
+    # selection — torch.topk semantics
+    return jnp.zeros_like(xg), da
+
+
+knn_edge_reduce.defvjp(_ker_fwd, _ker_bwd)
 
 
 def _knn_only_kernel(k, q_ref, x_ref, idx_ref):
@@ -173,7 +235,7 @@ def _knn_only_kernel(k, q_ref, x_ref, idx_ref):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))
-def knn_pallas(x: jax.Array, k: int, *, interpret: bool = False) -> jax.Array:
+def knn_pallas(x: jax.Array, k: int, *, interpret: bool | None = None) -> jax.Array:
     """Drop-in for ops.knn.knn backed by the fused Pallas extraction."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -193,5 +255,5 @@ def knn_pallas(x: jax.Array, k: int, *, interpret: bool = False) -> jax.Array:
         out_specs=pl.BlockSpec((1, TILE_N, k), lambda bi, ti: (bi, ti, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, k), jnp.int32),
-        interpret=interpret,
+        interpret=_auto_interpret(interpret),
     )(x, x)

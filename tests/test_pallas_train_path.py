@@ -1,0 +1,79 @@
+"""Fused-Pallas training path == XLA training path (outputs, BN stats, grads).
+
+DGCNN_TPU_PALLAS=1 forces the fused EdgeConv path (interpret mode on CPU).
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dgcnn_tpu.models import DGCNN
+
+
+@pytest.fixture
+def force_pallas():
+    old = os.environ.get("DGCNN_TPU_PALLAS")
+    os.environ["DGCNN_TPU_PALLAS"] = "1"
+    yield
+    if old is None:
+        os.environ.pop("DGCNN_TPU_PALLAS", None)
+    else:
+        os.environ["DGCNN_TPU_PALLAS"] = old
+
+
+def _run(model, variables, x, train):
+    def loss_fn(params):
+        out, updates = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, train=train, mutable=["batch_stats"],
+        )
+        return jnp.sum(jnp.square(out)), updates["batch_stats"]
+
+    (loss, stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"]
+    )
+    return loss, stats, grads
+
+
+def test_fused_train_matches_xla(force_pallas):
+    model = DGCNN(emb_dims=32, k=5)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+
+    with jax.default_matmul_precision("float32"):
+        loss_p, stats_p, grads_p = _run(model, variables, x, train=True)
+        os.environ["DGCNN_TPU_PALLAS"] = "0"
+        loss_x, stats_x, grads_x = _run(model, variables, x, train=True)
+
+    np.testing.assert_allclose(float(loss_p), float(loss_x), rtol=1e-4)
+    for a, b in zip(jax.tree.leaves(stats_p), jax.tree.leaves(stats_x)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+    for (pa, a), (pb, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(grads_p),
+               key=lambda t: str(t[0])),
+        sorted(jax.tree_util.tree_leaves_with_path(grads_x),
+               key=lambda t: str(t[0])),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=5e-4,
+            err_msg=str(pa),
+        )
+
+
+def test_fused_eval_matches_xla(force_pallas):
+    model = DGCNN(emb_dims=32, k=5)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    with jax.default_matmul_precision("float32"):
+        out_p = model.apply(variables, x, train=False)
+        os.environ["DGCNN_TPU_PALLAS"] = "0"
+        out_x = model.apply(variables, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_x), rtol=1e-4, atol=1e-5
+    )
