@@ -14,11 +14,15 @@ import jax.numpy as jnp
 
 from dgcnn_tpu.cli.common import (
     MeterAccumulator,
+    add_runtime_flags,
+    apply_runtime_flags,
     build_data_parallel_call,
     init_output_dir,
     pick_devices,
+    profile_epoch,
     str2bool,
 )
+from dgcnn_tpu.utils.profiling import ThroughputMeter
 from dgcnn_tpu.data import ModelNet40, NumpyLoader, device_prefetch
 from dgcnn_tpu.models import DGCNNCls, PointNet
 from dgcnn_tpu.train import (
@@ -85,21 +89,26 @@ def train(args, io: IOStream):
     key = jax.random.PRNGKey(args.seed)
 
     best_test_acc = 0.0
+    tput = ThroughputMeter()
     for epoch in range(args.epochs):
         train_loader.set_epoch(epoch)
         test_loader.set_epoch(epoch)
         meter = MeterAccumulator()
-        for batch in device_prefetch(iter(train_loader)):
-            state, m = train_call(
-                state, batch["points"], batch["label"].squeeze(-1), key)
-            meter.add_cls(m["loss"], np.asarray(m["preds"]),
-                          np.asarray(batch["label"]).squeeze(-1),
-                          np.asarray(batch["mask"]))
+        tput.start()
+        with profile_epoch(args, epoch):
+            for batch in device_prefetch(iter(train_loader)):
+                state, m = train_call(
+                    state, batch["points"], batch["label"].squeeze(-1), key)
+                meter.add_cls(m["loss"], np.asarray(m["preds"]),
+                              np.asarray(batch["label"]).squeeze(-1),
+                              np.asarray(batch["mask"]))
+        rate = tput.tick(meter.count)
         t, p = meter.concat()
         io.cprint(
-            "Train %d, loss: %.6f, train acc: %.6f, train avg acc: %.6f"
+            "Train %d, loss: %.6f, train acc: %.6f, train avg acc: %.6f, "
+            "throughput: %.1f clouds/sec"
             % (epoch, meter.mean_loss, accuracy_score(t, p),
-               balanced_accuracy_score(t, p))
+               balanced_accuracy_score(t, p), rate)
         )
 
         meter = MeterAccumulator()
@@ -194,12 +203,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--emb_dims", type=int, default=1024, metavar="N")
     parser.add_argument("--k", type=int, default=20, metavar="N")
     parser.add_argument("--model_path", type=str, default="", metavar="N")
+    add_runtime_flags(parser)
     return parser
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
     enable_compilation_cache()
+    apply_runtime_flags(args)
     init_output_dir(args.exp_name, __file__)
     io = IOStream("outputs/" + args.exp_name + "/run.log")
     io.cprint(str(args))

@@ -15,6 +15,39 @@ from typing import List, Optional
 import numpy as np
 
 
+def add_runtime_flags(parser: argparse.ArgumentParser) -> None:
+    """Framework extensions beyond the reference flag surface (SURVEY.md §5:
+    the reference ships no tracing or sanitizers)."""
+    parser.add_argument(
+        "--profile", type=str, default="",
+        help="capture an XLA profiler trace of the first epoch to this "
+             "directory ('auto' = outputs/<exp>/profile)")
+    parser.add_argument(
+        "--debug_nans", type=str2bool, default=False,
+        help="enable jax_debug_nans (fail at the op producing a NaN)")
+
+
+def apply_runtime_flags(args) -> None:
+    if getattr(args, "debug_nans", False):
+        from dgcnn_tpu.utils.profiling import enable_nan_debugging
+
+        enable_nan_debugging()
+    if getattr(args, "profile", ""):
+        if args.profile == "auto":
+            args.profile = os.path.join("outputs", args.exp_name, "profile")
+
+
+def profile_epoch(args, epoch: int):
+    """Context manager tracing epoch 0 when --profile is set."""
+    import contextlib
+
+    if getattr(args, "profile", "") and epoch == 0:
+        from dgcnn_tpu.utils.profiling import trace
+
+        return trace(args.profile)
+    return contextlib.nullcontext()
+
+
 def str2bool(v) -> bool:
     if isinstance(v, bool):
         return v

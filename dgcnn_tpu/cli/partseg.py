@@ -18,6 +18,8 @@ import jax.numpy as jnp
 
 from dgcnn_tpu.cli.common import (
     MeterAccumulator,
+    add_runtime_flags,
+    apply_runtime_flags,
     build_data_parallel_call,
     init_output_dir,
     pick_devices,
@@ -289,12 +291,14 @@ def build_parser(dist: bool = False) -> argparse.ArgumentParser:
     parser.add_argument("--visu", type=str, default="")
     parser.add_argument("--visu_format", type=str, default="ply")
     parser.add_argument("--resume", type=str2bool, default=False)
+    add_runtime_flags(parser)
     return parser
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
     enable_compilation_cache()
+    apply_runtime_flags(args)
     init_output_dir(args.exp_name, __file__)
     io = IOStream("outputs/" + args.exp_name + "/run.log")
     io.cprint(str(args))

@@ -14,6 +14,8 @@ import jax.numpy as jnp
 
 from dgcnn_tpu.cli.common import (
     MeterAccumulator,
+    add_runtime_flags,
+    apply_runtime_flags,
     build_data_parallel_call,
     init_output_dir,
     pick_devices,
@@ -243,12 +245,14 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--model_root", type=str, default="", metavar="N")
     parser.add_argument("--visu", type=str, default="")
     parser.add_argument("--visu_format", type=str, default="ply")
+    add_runtime_flags(parser)
     return parser
 
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
     enable_compilation_cache()
+    apply_runtime_flags(args)
     init_output_dir(args.exp_name, __file__)
     io = IOStream("outputs/" + args.exp_name + "/run.log")
     io.cprint(str(args))

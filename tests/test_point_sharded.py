@@ -1,0 +1,53 @@
+"""Point-axis (sequence-parallel) sharding vs unsharded reference."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dgcnn_tpu.ops import edge_conv_fused, gather_neighbors, knn
+from dgcnn_tpu.parallel import make_mesh
+from dgcnn_tpu.parallel.point_sharded import (
+    sharded_edge_conv_fused,
+    sharded_gather_neighbors,
+    sharded_knn,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def test_sharded_knn_matches_unsharded():
+    mesh = make_mesh(jax.devices()[:8])
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 64, 3).astype(np.float32))
+    ref = np.asarray(knn(x, 5))
+    got = np.asarray(jax.jit(sharded_knn(mesh, 5))(x))
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_sharded_gather_matches_unsharded():
+    mesh = make_mesh(jax.devices()[:8])
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 64, 3).astype(np.float32))
+    f = jnp.asarray(rng.randn(2, 64, 16).astype(np.float32))
+    idx = knn(x, 5)
+    ref = np.asarray(gather_neighbors(f, idx))
+    got = np.asarray(jax.jit(sharded_gather_neighbors(mesh))(f, idx))
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_sharded_edge_conv_matches_unsharded():
+    mesh = make_mesh(jax.devices()[:8])
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 64, 8).astype(np.float32))
+    w1 = jnp.asarray(rng.randn(8, 16).astype(np.float32) * 0.3)
+    w2 = jnp.asarray(rng.randn(8, 16).astype(np.float32) * 0.3)
+    scale = jnp.asarray(rng.randn(16).astype(np.float32))
+    bias = jnp.asarray(rng.randn(16).astype(np.float32))
+    with jax.default_matmul_precision("float32"):
+        ref = np.asarray(edge_conv_fused(x, knn(x, 5), w1, w2, scale, bias))
+        got = np.asarray(jax.jit(sharded_edge_conv_fused(mesh, 5))(
+            x, w1, w2, scale, bias))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
