@@ -59,7 +59,9 @@ class BatchNorm(nn.Module):
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 m = self.momentum
-                unbiased = var * (n / max(n - 1, 1))
+                # n is traced under shard_map (psum) — use jnp arithmetic
+                n = jnp.asarray(n, jnp.float32)
+                unbiased = var * (n / jnp.maximum(n - 1, 1))
                 ra_mean.value = (1 - m) * ra_mean.value + m * mean
                 ra_var.value = (1 - m) * ra_var.value + m * unbiased
         else:
@@ -135,9 +137,10 @@ class EdgeConv(nn.Module):
             if self.is_initializing():
                 return
             if self.axis_name is not None:
-                count *= jax.lax.psum(1, self.axis_name)
+                count = count * jax.lax.psum(1, self.axis_name)
             m = self.momentum
-            unbiased = var * (count / max(count - 1, 1))
+            count = jnp.asarray(count, jnp.float32)
+            unbiased = var * (count / jnp.maximum(count - 1, 1))
             ra_mean.value = (1 - m) * ra_mean.value + m * mean
             ra_var.value = (1 - m) * ra_var.value + m * unbiased
 

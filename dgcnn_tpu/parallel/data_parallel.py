@@ -97,7 +97,7 @@ def make_shard_map_seg_train_step(model, mesh: Mesh, smoothing: bool = True):
         )
         return state, {"loss": loss, "preds": jnp.argmax(logits, -1)}
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     state_specs_cache = {}
 
