@@ -108,7 +108,7 @@ def make_shard_map_seg_train_step(model, mesh: Mesh, smoothing: bool = True):
             mesh=mesh,
             in_specs=(state_spec, P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS), P()),
             out_specs=(state_spec, {"loss": P(), "preds": P(DATA_AXIS)}),
-            check_rep=False,
+            check_vma=False,
         )
         return jax.jit(mapped)(state, points, label_one_hot, seg, rng)
 

@@ -40,7 +40,7 @@ def sharded_knn(mesh: Mesh, k: int, axis: str = DATA_AXIS):
         local, mesh=mesh,
         in_specs=(P(None, axis, None),),
         out_specs=P(None, axis, None),
-        check_rep=False,
+        check_vma=False,
     )
 
 
@@ -59,7 +59,7 @@ def sharded_gather_neighbors(mesh: Mesh, axis: str = DATA_AXIS):
         local, mesh=mesh,
         in_specs=(P(None, axis, None), P(None, axis, None)),
         out_specs=P(None, axis, None, None),
-        check_rep=False,
+        check_vma=False,
     )
 
 
@@ -91,5 +91,5 @@ def sharded_edge_conv_fused(mesh: Mesh, k: int, negative_slope: float = 0.2,
         local, mesh=mesh,
         in_specs=(P(None, axis, None), P(), P(), P(), P()),
         out_specs=P(None, axis, None),
-        check_rep=False,
+        check_vma=False,
     )

@@ -76,7 +76,7 @@ def test_shard_map_crossreplica_bn_matches_global():
         shard_step, mesh=mesh,
         in_specs=(state_spec, P(DATA_AXIS), P(DATA_AXIS), P()),
         out_specs=(state_spec, P()),
-        check_rep=False,
+        check_vma=False,
     )
     s2, loss2 = jax.jit(mapped)(state, pts, seg, jax.random.PRNGKey(1))
 
