@@ -30,7 +30,6 @@ from dgcnn_tpu.data import (
     ShapeNetPart,
     ShapeNetPartAugmented,
     device_prefetch,
-    load_color_partseg,
 )
 from dgcnn_tpu.models import DGCNNPartSeg, Net
 from dgcnn_tpu.train import (

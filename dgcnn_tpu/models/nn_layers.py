@@ -13,14 +13,13 @@ pmean.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from dgcnn_tpu.ops import edge_conv
-from dgcnn_tpu.ops.graph import gather_neighbors
 
 
 def leaky_relu(x: jax.Array, negative_slope: float = 0.2) -> jax.Array:
@@ -178,8 +177,16 @@ class EdgeConv(nn.Module):
                     mean, var = cross_replica(mean, var)
                     update_running(mean, var, x.shape[0] * x.shape[1] * k)
                 else:
+                    # bf16 one-hot selection: exact selection, feature values
+                    # bf16-rounded — immaterial for inference (argmax-stable).
+                    # DGCNN_TPU_PALLAS_EXACT=1 forces f32 for parity checks.
+                    import os as _os
+
+                    sel_dt = (jnp.float32
+                              if _os.environ.get("DGCNN_TPU_PALLAS_EXACT")
+                              else jnp.bfloat16)
                     _, amax, amin, _ = fused_knn_reduce(
-                        graph, a, k, select_dtype=jnp.float32
+                        graph, a, k, select_dtype=sel_dt
                     )
                     mean, var = ra_mean.value, ra_var.value
                 s, t = edge_conv.fold_bn(scale, bias, mean, var, self.eps)

@@ -19,8 +19,6 @@ torch default); the fusion Net passes the reference-effective combination.
 """
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

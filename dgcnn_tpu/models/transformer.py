@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from typing import Optional
 
-import jax
 from flax import linen as nn
 
 from dgcnn_tpu.models.attention import VectorAttention

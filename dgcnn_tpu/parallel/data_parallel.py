@@ -18,13 +18,12 @@ against each other on the virtual CPU mesh.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from dgcnn_tpu.parallel.mesh import DATA_AXIS, batch_sharding, replicated
 from dgcnn_tpu.train.engine import TrainState

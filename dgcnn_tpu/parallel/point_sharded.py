@@ -11,8 +11,6 @@ point clouds — the score matrix never exists whole on any chip.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

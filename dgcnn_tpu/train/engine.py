@@ -17,7 +17,7 @@ statistics are inserted by GSPMD, replacing DDP + SyncBatchNorm.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,7 @@ eval metrics never force a host round-trip per batch.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import numpy as np
 

@@ -70,10 +70,23 @@ def test_fused_eval_matches_xla(force_pallas):
     rng = np.random.RandomState(1)
     x = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32))
     variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    os.environ["DGCNN_TPU_PALLAS_EXACT"] = "1"
+    try:
+        with jax.default_matmul_precision("float32"):
+            out_p = model.apply(variables, x, train=False)
+    finally:
+        os.environ.pop("DGCNN_TPU_PALLAS_EXACT", None)
+    # default (bf16 selection) path: same up to bf16 feature rounding
     with jax.default_matmul_precision("float32"):
-        out_p = model.apply(variables, x, train=False)
+        out_b = model.apply(variables, x, train=False)
         os.environ["DGCNN_TPU_PALLAS"] = "0"
         out_x = model.apply(variables, x, train=False)
     np.testing.assert_allclose(
         np.asarray(out_p), np.asarray(out_x), rtol=1e-4, atol=1e-5
     )
+    # bf16 feature rounding can flip near-tie neighbours in the *next*
+    # layer's dynamic graph, so a small fraction of elements legitimately
+    # diverges — require structural agreement, not elementwise equality
+    a_, b_ = np.asarray(out_b).ravel(), np.asarray(out_x).ravel()
+    assert (np.abs(a_ - b_) < 0.05).mean() > 0.99
+    assert np.corrcoef(a_, b_)[0, 1] > 0.999
