@@ -28,9 +28,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 REF_GPU_CLOUDS_PER_SEC = 500.0
 
+MODEL = os.environ.get("BENCH_MODEL", "cls")  # cls | partseg | semseg
 BATCH = int(os.environ.get("BENCH_BATCH", "64"))
-NUM_POINTS = int(os.environ.get("BENCH_POINTS", "1024"))
-K = int(os.environ.get("BENCH_K", "20"))
+NUM_POINTS = int(os.environ.get(
+    "BENCH_POINTS", {"cls": "1024", "partseg": "2048", "semseg": "4096"}[MODEL]))
+K = int(os.environ.get("BENCH_K", {"cls": "20", "partseg": "32",
+                                   "semseg": "20"}[MODEL]))
 ITERS = int(os.environ.get("BENCH_ITERS", "30"))
 
 
@@ -43,29 +46,54 @@ def main() -> None:
     import jax.numpy as jnp
     import numpy as np
 
-    from dgcnn_tpu.models import DGCNNCls
-
-    model = DGCNNCls(emb_dims=1024, k=K, output_channels=40)
     rng = np.random.RandomState(0)
-    points = jnp.asarray(rng.randn(BATCH, NUM_POINTS, 3).astype(np.float32))
-    variables = model.init({"params": jax.random.PRNGKey(0)}, points,
-                           train=False)
+    if MODEL == "cls":
+        from dgcnn_tpu.models import DGCNNCls
 
-    def chained(v, pts, iters):
+        model = DGCNNCls(emb_dims=1024, k=K, output_channels=40)
+        points = jnp.asarray(
+            rng.randn(BATCH, NUM_POINTS, 3).astype(np.float32))
+        args = (points,)
+        name = "DGCNN-cls"
+    elif MODEL == "partseg":
+        from dgcnn_tpu.models import Net
+
+        model = Net(emb_dim=512, k=K, n_heads=2, n_blocks=2, ff_dims=512,
+                    d_qkv=64, nclasses=50)
+        points = jnp.asarray(
+            rng.randn(BATCH, NUM_POINTS, 3).astype(np.float32))
+        lbl = jnp.asarray(
+            np.eye(16, dtype=np.float32)[rng.randint(0, 16, BATCH)])
+        args = (points, lbl)
+        name = "fusion-Net partseg"
+    else:
+        from dgcnn_tpu.models import DGCNNSemSeg
+
+        model = DGCNNSemSeg(emb_dims=1024, k=K)
+        points = jnp.asarray(
+            rng.rand(BATCH, NUM_POINTS, 9).astype(np.float32))
+        args = (points,)
+        name = "DGCNN-semseg"
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        *args, train=False)
+
+    def chained(v, args, iters):
         def body(_, carry):
-            acc, p = carry
-            out = model.apply(v, p, train=False)
+            acc, a0 = carry
+            out = model.apply(v, a0, *args[1:], train=False)
             s = jnp.sum(out) * 1e-12
             # feed a data dependency back so iterations can't be elided
-            return acc + s, pts + s
-        acc, _ = jax.lax.fori_loop(0, iters, body, (jnp.float32(0), pts))
+            return acc + s, args[0] + s
+        acc, _ = jax.lax.fori_loop(0, iters, body, (jnp.float32(0), args[0]))
         return acc
 
     run = jax.jit(chained, static_argnums=(2,))
 
     def timed(iters: int) -> float:
         t0 = time.perf_counter()
-        float(run(variables, points, iters))  # host readback = completion
+        float(run(variables, args, iters))  # host readback = completion
         return time.perf_counter() - t0
 
     timed(1)            # compile 1-iter variant
@@ -76,7 +104,7 @@ def main() -> None:
 
     clouds_per_sec = BATCH / per_iter
     print(json.dumps({
-        "metric": f"ModelNet40 DGCNN-cls inference clouds/sec/chip "
+        "metric": f"{name} inference clouds/sec/chip "
                   f"({NUM_POINTS} pts, k={K}, batch {BATCH})",
         "value": round(clouds_per_sec, 1),
         "unit": "clouds/sec",

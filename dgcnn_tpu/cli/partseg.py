@@ -84,7 +84,8 @@ def init_state(args, model, steps_per_epoch, rng):
         steps_per_epoch=steps_per_epoch, use_sgd=args.use_sgd,
     )
     tx = make_optimizer(use_sgd=args.use_sgd, schedule=schedule,
-                        momentum=args.momentum, adamw=True)
+                        momentum=args.momentum, adamw=True,
+                        grad_accum=getattr(args, "grad_accum", 1))
     return TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],
@@ -290,6 +291,9 @@ def build_parser(dist: bool = False) -> argparse.ArgumentParser:
     parser.add_argument("--visu", type=str, default="")
     parser.add_argument("--visu_format", type=str, default="ply")
     parser.add_argument("--resume", type=str2bool, default=False)
+    parser.add_argument("--grad_accum", type=int, default=1,
+                        help="gradient accumulation steps (the reference's "
+                             "commented accum_iter)")
     add_runtime_flags(parser)
     return parser
 

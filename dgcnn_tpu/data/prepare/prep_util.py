@@ -67,23 +67,15 @@ def load_h5_data_label_seg(h5_filename: str):
 
 
 def export_ply(pc: np.ndarray, filename: str) -> None:
-    from plyfile import PlyData, PlyElement
+    from dgcnn_tpu.utils.ply import write_ply_xyz
 
-    vertex = np.zeros(pc.shape[0],
-                      dtype=[("x", "f4"), ("y", "f4"), ("z", "f4")])
-    for i in range(pc.shape[0]):
-        vertex[i] = (pc[i][0], pc[i][1], pc[i][2])
-    ply_out = PlyData(
-        [PlyElement.describe(vertex, "vertex", comments=["vertices"])])
-    ply_out.write(filename)
+    write_ply_xyz(filename, np.asarray(pc))
 
 
 def load_ply_data(filename: str, point_num: int) -> np.ndarray:
-    from plyfile import PlyData
+    from dgcnn_tpu.utils.ply import read_ply
 
-    plydata = PlyData.read(filename)
-    pc = plydata["vertex"].data[:point_num]
-    return np.array([[x, y, z] for x, y, z in pc])
+    return read_ply(filename)[:point_num, :3]
 
 
 def get_sampling_command(obj_filename: str, ply_filename: str) -> str:

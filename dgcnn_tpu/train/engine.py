@@ -54,25 +54,33 @@ def make_optimizer(
     momentum: float = 0.9,
     weight_decay: float = 1e-4,
     adamw: bool = False,
+    grad_accum: int = 1,
 ) -> optax.GradientTransformation:
     """Reference optimizer configs: SGD(lr*100, momentum, wd 1e-4) with
     L2-coupled decay (main_cls.py:67), Adam(lr, wd 1e-4) L2-coupled
     (main_cls.py:70), AdamW(lr, wd 1e-4) decoupled (main_partseg_dist.py:205).
     The lr x100 convention is applied by the schedule (schedules.make_schedule).
+    ``grad_accum > 1`` enables gradient accumulation (the reference's
+    commented-out accum_iter, main_partseg_dist.py:237-238) via
+    optax.MultiSteps.
     """
     if use_sgd:
-        return optax.chain(
+        tx = optax.chain(
             optax.add_decayed_weights(weight_decay),
             optax.trace(decay=momentum, nesterov=False),
             optax.scale_by_learning_rate(schedule),
         )
-    if adamw:
-        return optax.adamw(schedule, weight_decay=weight_decay)
-    return optax.chain(
-        optax.add_decayed_weights(weight_decay),
-        optax.scale_by_adam(),
-        optax.scale_by_learning_rate(schedule),
-    )
+    elif adamw:
+        tx = optax.adamw(schedule, weight_decay=weight_decay)
+    else:
+        tx = optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_adam(),
+            optax.scale_by_learning_rate(schedule),
+        )
+    if grad_accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum)
+    return tx
 
 
 def make_cls_steps(model, smoothing: bool = True):

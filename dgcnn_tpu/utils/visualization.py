@@ -29,17 +29,9 @@ def write_xyzrgb(path: str, xyzrgb: np.ndarray, fmt: str) -> None:
     if fmt == "txt":
         np.savetxt(path, xyzrgb, fmt="%s", delimiter=" ")
     elif fmt == "ply":
-        from plyfile import PlyData, PlyElement
+        from dgcnn_tpu.utils.ply import write_ply_xyzrgb
 
-        rows = [tuple(r) for r in xyzrgb]
-        vertex = PlyElement.describe(
-            np.array(rows, dtype=[
-                ("x", "f4"), ("y", "f4"), ("z", "f4"),
-                ("red", "u1"), ("green", "u1"), ("blue", "u1"),
-            ]),
-            "vertex",
-        )
-        PlyData([vertex]).write(path)
+        write_ply_xyzrgb(path, np.asarray(xyzrgb, dtype=np.float64))
     else:
         raise ValueError(f"Unknown visualization format: {fmt} (use txt or ply)")
 

@@ -84,3 +84,19 @@ def test_semseg_train_smoke(data_env):
     semseg.main(argv + ["--eval=True", "--model_root=outputs/smoke_sem/models"])
     log = open("outputs/smoke_sem/run.log").read()
     assert "test area: 6" in log
+
+
+def test_partseg_dist_train_smoke(data_env):
+    """The distributed trainer entry (DDP replacement) end-to-end on the
+    fallback dataset path with dist defaults scaled down."""
+    from dgcnn_tpu.cli import partseg_dist
+
+    argv = [
+        "--exp_name=smoke_dist", "--epochs=1", "--batch_size=8",
+        "--test_batch_size=8", "--num_points=64", "--k=4", "--emb_dim=32",
+        "--ff_dims=16", "--n_heads=2", "--n_blocks=1", "--use_sgd=False",
+        "--scheduler=cycle", "--grad_accum=2",
+    ]
+    partseg_dist.main(argv)
+    log = open("outputs/smoke_dist/run.log").read()
+    assert "train iou:" in log and "test iou:" in log
