@@ -100,3 +100,49 @@ def test_partseg_dist_train_smoke(data_env):
     partseg_dist.main(argv)
     log = open("outputs/smoke_dist/run.log").read()
     assert "train iou:" in log and "test iou:" in log
+
+
+def test_cls_eval_from_torch_t7(data_env):
+    """A torch-format .t7 (upstream DGCNN_cls layout) drops straight into
+    main_cls --eval via the on-the-fly converter."""
+    torch = pytest.importorskip("torch")
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    sd = {}
+
+    def conv(key, co, ci, dims=2):
+        sd[f"{key}.weight"] = torch.from_numpy(
+            (rng.randn(co, ci, *([1] * dims)) * 0.1).astype(np.float32))
+
+    def bn(prefix, c):
+        sd[f"{prefix}.weight"] = torch.from_numpy(rng.rand(c).astype(np.float32) + 0.5)
+        sd[f"{prefix}.bias"] = torch.from_numpy(rng.randn(c).astype(np.float32))
+        sd[f"{prefix}.running_mean"] = torch.from_numpy(rng.randn(c).astype(np.float32))
+        sd[f"{prefix}.running_var"] = torch.from_numpy(rng.rand(c).astype(np.float32) + 0.5)
+
+    def linear(key, co, ci, bias=True):
+        sd[f"{key}.weight"] = torch.from_numpy((rng.randn(co, ci) * 0.1).astype(np.float32))
+        if bias:
+            sd[f"{key}.bias"] = torch.from_numpy(rng.randn(co).astype(np.float32))
+
+    conv("conv1.0", 64, 6); bn("conv1.1", 64)
+    conv("conv2.0", 64, 128); bn("conv2.1", 64)
+    conv("conv3.0", 128, 128); bn("conv3.1", 128)
+    conv("conv4.0", 256, 256); bn("conv4.1", 256)
+    conv("conv5.0", 32, 512, dims=1); bn("conv5.1", 32)
+    linear("linear1", 512, 64, bias=False); bn("bn6", 512)
+    linear("linear2", 256, 512); bn("bn7", 256)
+    linear("linear3", 40, 256)
+    # DataParallel-style module. prefixes, like main_cls.py:152 checkpoints
+    sd = {"module." + k: v for k, v in sd.items()}
+    torch.save(sd, "model.cls.t7")
+
+    from dgcnn_tpu.cli import cls
+
+    cls.main([
+        "--exp_name=smoke_t7", "--eval=True", "--model_path=model.cls.t7",
+        "--test_batch_size=8", "--num_points=64", "--k=4", "--emb_dims=32",
+    ])
+    log = open("outputs/smoke_t7/run.log").read()
+    assert "Test :: test acc:" in log
