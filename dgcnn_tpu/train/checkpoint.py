@@ -68,3 +68,38 @@ def load_train_checkpoint(path: str, state) -> Tuple[Any, int, float]:
         opt_state=opt_state,
     )
     return restored, int(payload["epoch"]), float(payload["loss"])
+
+
+# ------------------------------------------------------------------- orbax
+
+def save_orbax(path: str, state, epoch: int, loss: float) -> None:
+    """Orbax-backed checkpoint (async-capable, multi-host-safe) — the
+    production alternative to the msgpack files above."""
+    import orbax.checkpoint as ocp
+
+    payload = {
+        "step": jax.device_get(state.step),
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": serialization.to_state_dict(
+            jax.device_get(state.opt_state)),
+        "meta": {"epoch": epoch, "loss": float(loss)},
+    }
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), payload, force=True)
+
+
+def load_orbax(path: str, state) -> Tuple[Any, int, float]:
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        payload = ckptr.restore(os.path.abspath(path))
+    opt_state = serialization.from_state_dict(
+        state.opt_state, payload["opt_state"])
+    restored = state.replace(
+        step=jax.numpy.asarray(payload["step"]),
+        params=payload["params"],
+        batch_stats=payload["batch_stats"],
+        opt_state=opt_state,
+    )
+    return restored, int(payload["meta"]["epoch"]), float(payload["meta"]["loss"])

@@ -83,21 +83,29 @@ def make_optimizer(
     return tx
 
 
-def make_cls_steps(model, smoothing: bool = True):
+def make_cls_steps(model, smoothing: bool = True, remat: bool = False):
     """(train_step, eval_step) for classification models taking (points,).
 
     train_step(state, points, labels, rng) -> (state, {loss, preds})
     eval_step(state, points, labels)       -> {loss, preds}
+    ``remat``: rematerialize the forward under grad (jax.checkpoint) — trades
+    FLOPs for activation memory on large N (SURVEY.md TPU-design notes).
     """
 
-    def loss_fn(params, batch_stats, points, labels, rng):
-        logits, updates = model.apply(
+    def fwd_train(params, batch_stats, points, rng):
+        return model.apply(
             {"params": params, "batch_stats": batch_stats},
             points,
             train=True,
             rngs={"dropout": rng},
             mutable=["batch_stats"],
         )
+
+    if remat:
+        fwd_train = jax.checkpoint(fwd_train)
+
+    def loss_fn(params, batch_stats, points, labels, rng):
+        logits, updates = fwd_train(params, batch_stats, points, rng)
         return cross_entropy(logits, labels, smoothing), (
             logits,
             updates["batch_stats"],
@@ -134,12 +142,14 @@ def make_cls_steps(model, smoothing: bool = True):
     return train_step, eval_step
 
 
-def make_seg_steps(model, smoothing: bool = True, with_label: bool = True):
+def make_seg_steps(model, smoothing: bool = True, with_label: bool = True,
+                   remat: bool = False):
     """(train_step, eval_step) for segmentation models.
 
     ``with_label``: partseg models take (points, category_one_hot); semseg
     models take (points,) only.  Logits are per-point (B, N, C); loss flattens
     (reference main_partseg_dist.py:256).
+    ``remat``: rematerialize the forward under grad (jax.checkpoint).
     """
 
     def fwd(params, batch_stats, points, label_one_hot, train, rng):
@@ -157,8 +167,14 @@ def make_seg_steps(model, smoothing: bool = True, with_label: bool = True):
             {"params": params, "batch_stats": batch_stats}, *args, **kwargs
         ), None
 
+    fwd_train = (jax.checkpoint(
+        lambda p, bs, pts, lbl, rng: fwd(p, bs, pts, lbl, True, rng),
+        static_argnums=()) if remat
+        else (lambda p, bs, pts, lbl, rng: fwd(p, bs, pts, lbl, True, rng)))
+
     def loss_fn(params, batch_stats, points, label_one_hot, seg, rng):
-        logits, updates = fwd(params, batch_stats, points, label_one_hot, True, rng)
+        logits, updates = fwd_train(params, batch_stats, points,
+                                    label_one_hot, rng)
         loss = cross_entropy(logits, seg, smoothing)
         return loss, (logits, updates["batch_stats"])
 

@@ -191,3 +191,51 @@ def test_checkpoint_roundtrip(tmp_path):
     save_model(mp, variables)
     loaded = load_model(mp)
     assert set(loaded.keys()) == {"params", "batch_stats"}
+
+
+def test_remat_train_matches_plain():
+    """jax.checkpoint rematerialization must not change the math."""
+    from dgcnn_tpu.models import DGCNNSemSeg
+    from dgcnn_tpu.train import make_seg_steps
+
+    model = DGCNNSemSeg(emb_dims=16, k=4, dropout=0.0)
+    rng = np.random.RandomState(7)
+    pts = jnp.asarray(rng.rand(2, 16, 9).astype(np.float32))
+    seg = jnp.asarray(rng.randint(0, 13, size=(2, 16)))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, pts, train=False)
+    tx = make_optimizer(use_sgd=True, schedule=lambda _: 0.01)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables["batch_stats"], tx=tx,
+    )
+    plain, _ = make_seg_steps(model, with_label=False)
+    rem, _ = make_seg_steps(model, with_label=False, remat=True)
+    s1, m1 = plain(state, pts, seg, jax.random.PRNGKey(1))
+    s2, m2 = rem(state, pts, seg, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from dgcnn_tpu.models import DGCNNCls
+    from dgcnn_tpu.train.checkpoint import load_orbax, save_orbax
+
+    model = DGCNNCls(emb_dims=16, k=4, output_channels=4)
+    rng = np.random.RandomState(8)
+    pts = jnp.asarray(rng.randn(2, 16, 3).astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, pts, train=False)
+    tx = make_optimizer(use_sgd=False, schedule=lambda _: 1e-3)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables["batch_stats"], tx=tx,
+    )
+    p = str(tmp_path / "orbax_ckpt")
+    save_orbax(p, state, epoch=3, loss=0.5)
+    restored, epoch, loss = load_orbax(p, state)
+    assert epoch == 3 and abs(loss - 0.5) < 1e-9
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
