@@ -146,3 +146,27 @@ def test_cls_eval_from_torch_t7(data_env):
     ])
     log = open("outputs/smoke_t7/run.log").read()
     assert "Test :: test acc:" in log
+
+
+def test_semseg_eval_with_visu(data_env):
+    """Streaming room visualization through the real semseg CLI."""
+    from dgcnn_tpu.cli import semseg
+
+    train_argv = [
+        "--exp_name=smoke_sem", "--epochs=1", "--batch_size=8",
+        "--test_batch_size=8", "--num_points=64", "--k=4", "--emb_dims=32",
+        "--test_area=6", "--use_sgd=False",
+    ]
+    if not os.path.exists("outputs/smoke_sem/models/model_6.t7.msgpack"):
+        semseg.main(train_argv)
+    semseg.main(train_argv + [
+        "--eval=True", "--model_root=outputs/smoke_sem/models",
+        "--visu=area_6", "--visu_format=txt",
+    ])
+    visu_root = "outputs/smoke_sem/visualization/area_6"
+    assert os.path.isdir(visu_root)
+    rooms = os.listdir(visu_root)
+    assert rooms, "no rooms written"
+    files = os.listdir(os.path.join(visu_root, rooms[0]))
+    assert any("_pred_" in f for f in files)
+    assert any(f.endswith("_gt.txt") for f in files)

@@ -139,3 +139,12 @@ def test_fusion_net_shapes(cloud):
     model = Net(emb_dim=EMB, k=K, n_heads=2, n_blocks=1, ff_dims=16, nclasses=50)
     out, _, _ = _init_apply(model, cloud, lbl)
     assert out.shape == (B, N, 50)
+
+
+def test_fusion_net_custom_attention(cloud):
+    """The wired --use_custom_attention path (vector-attention transformer)."""
+    lbl = jnp.asarray(np.eye(16, dtype=np.float32)[np.array([0, 3])])
+    model = Net(emb_dim=EMB, k=K, n_heads=2, n_blocks=1, ff_dims=16,
+                d_qkv=8, nclasses=50, use_custom_attention=True)
+    out, _, _ = _init_apply(model, cloud, lbl)
+    assert out.shape == (B, N, 50)
