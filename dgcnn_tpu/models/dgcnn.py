@@ -27,6 +27,31 @@ from dgcnn_tpu.models.nn_layers import (
 from dgcnn_tpu.ops.knn import knn
 
 
+def _edge_block2(ec, cb, x, graph, k, train, slope=0.2, eps=1e-5):
+    """Two-conv EdgeConv stage: conv1(edge) -> BN -> LReLU -> conv2 -> BN ->
+    LReLU -> max over k (the upstream partseg/semseg block shape).  On TPU in
+    eval mode the whole stage runs as one fused Pallas kernel
+    (ops/pallas_knn.fused_knn_edge2) — neither the edge tensor nor the
+    per-edge hidden activations are materialized."""
+    from dgcnn_tpu.ops.knn import use_pallas
+
+    if (not train) and use_pallas(graph.shape[1]):
+        from dgcnn_tpu.ops.edge_conv import _project, fold_bn
+        from dgcnn_tpu.ops.pallas_knn import fused_knn_edge2
+
+        w_nbr, w_ctr, g1, be1, m1, v1 = ec(x, return_params=True)
+        dummy = jnp.zeros((1, w_nbr.shape[1]), jnp.float32)
+        k2, g2, be2, m2, v2 = cb(dummy, return_params=True)
+        s1, t1 = fold_bn(g1, be1, m1, v1, eps)
+        s2, t2 = fold_bn(g2, be2, m2, v2, eps)
+        a1 = _project(x, w_nbr)
+        b1 = _project(x, w_ctr)
+        return fused_knn_edge2(graph, a1, b1, s1, t1, k2, s2, t2, k, slope)
+    h = ec(x, knn(graph, k), train)
+    h = cb(h, train)
+    return jnp.max(h, axis=2)
+
+
 class DGCNN(nn.Module):
     """The fork's backbone: EdgeConv 6->64->64->128->256, concat -> conv5 to
     ``emb_dims`` per point (reference models/dgcnn.py:47-103).
@@ -183,15 +208,15 @@ class DGCNNPartSeg(nn.Module):
         t = TransformNet(axis_name=ax, name="transform_net")(e, train)
         x = jnp.einsum("bnc,bcd->bnd", x, t, precision=jax.lax.Precision.HIGHEST)
 
-        idx = knn(x, self.k)
-        h = EdgeConv(64, pool=False, axis_name=ax, name="conv1")(x, idx, train)
-        h = ConvBN(64, axis_name=ax, name="conv2")(h, train)
-        x1 = jnp.max(h, axis=2)
+        x1 = _edge_block2(
+            EdgeConv(64, pool=False, axis_name=ax, name="conv1"),
+            ConvBN(64, axis_name=ax, name="conv2"),
+            x, x, self.k, train)
 
-        idx = knn(x1, self.k)
-        h = EdgeConv(64, pool=False, axis_name=ax, name="conv3")(x1, idx, train)
-        h = ConvBN(64, axis_name=ax, name="conv4")(h, train)
-        x2 = jnp.max(h, axis=2)
+        x2 = _edge_block2(
+            EdgeConv(64, pool=False, axis_name=ax, name="conv3"),
+            ConvBN(64, axis_name=ax, name="conv4"),
+            x1, x1, self.k, train)
 
         x3 = EdgeConv(64, axis_name=ax, name="conv5")(x2, train=train,
                                                       graph=x2, k=self.k)

@@ -34,7 +34,8 @@ class BatchNorm(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False,
+                 return_params: bool = False):
         features = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (features,))
         bias = self.param("bias", nn.initializers.zeros, (features,))
@@ -44,6 +45,11 @@ class BatchNorm(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
         )
+        if return_params:
+            # expose (scale, bias, running mean/var) for externally fused
+            # consumers (ops/pallas_knn.fused_knn_edge2); x is a dummy that
+            # only fixes the feature count
+            return scale, bias, ra_mean.value, ra_var.value
         if train:
             axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(x, axis=axes)
@@ -79,9 +85,18 @@ class ConvBN(nn.Module):
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        x = nn.Dense(self.features, use_bias=self.use_bias, name="conv")(x)
-        x = BatchNorm(axis_name=self.axis_name, name="bn")(x, train)
+    def __call__(self, x: jax.Array, train: bool = False,
+                 return_params: bool = False):
+        dense = nn.Dense(self.features, use_bias=self.use_bias, name="conv")
+        bn = BatchNorm(axis_name=self.axis_name, name="bn")
+        if return_params:
+            # kernel via the identity trick (Dense params aren't attribute-
+            # accessible from the parent scope); x fixes the input width
+            kernel = dense(jnp.eye(x.shape[-1], dtype=jnp.float32))
+            dummy = jnp.zeros((1, self.features), jnp.float32)
+            return (kernel,) + bn(dummy, return_params=True)
+        x = dense(x)
+        x = bn(x, train)
         return leaky_relu(x, self.negative_slope)
 
 
@@ -111,7 +126,8 @@ class EdgeConv(nn.Module):
         *,
         graph: Optional[jax.Array] = None,
         k: Optional[int] = None,
-    ) -> jax.Array:
+        return_params: bool = False,
+    ):
         """Either pass precomputed neighbour ``idx`` (B, N, k), or pass the
         ``graph`` tensor + ``k`` and let the layer build the graph itself — on
         TPU in eval mode the latter runs the fully fused Pallas
@@ -131,6 +147,8 @@ class EdgeConv(nn.Module):
         ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones((self.features,), jnp.float32)
         )
+        if return_params:
+            return (w_nbr, w_ctr, scale, bias, ra_mean.value, ra_var.value)
 
         def update_running(mean, var, count):
             if self.is_initializing():

@@ -247,6 +247,116 @@ def _ker_bwd(k, res, cts):
 knn_edge_reduce.defvjp(_ker_fwd, _ker_bwd)
 
 
+def _knn_edge2_kernel(k, slope, q_ref, x_ref, a1_ref, b1_ref, w2_ref,
+                      aff_ref, out_ref):
+    """Two-conv EdgeConv block, fully fused (eval):
+    max_j lrelu(s2 * (lrelu(s1*(a1[j]+b1[i]) + t1) @ w2) + t2).
+    aff_ref rows: [s1; t1; s2pad; t2pad] with s2/t2 padded to C1 lanes."""
+    n = x_ref.shape[1]
+    c2 = w2_ref.shape[1]
+    tile = q_ref.shape[1]
+    scores = _scores(q_ref[0], x_ref[0])
+    a1 = a1_ref[0]
+    b1 = b1_ref[0]
+    w2 = w2_ref[:]
+    s1 = aff_ref[0:1, :]
+    t1 = aff_ref[1:2, :]
+    s2 = aff_ref[2:3, :c2]
+    t2 = aff_ref[3:4, :c2]
+
+    acc = {"out": jnp.full((tile, c2), -jnp.inf, jnp.float32)}
+
+    def payload(onehot, t):
+        sel = jax.lax.dot_general(
+            onehot, a1,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        z1 = (sel + b1) * s1 + t1
+        h1 = jnp.where(z1 >= 0, z1, slope * z1)
+        z2 = jax.lax.dot_general(
+            h1, w2,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * s2 + t2
+        h2 = jnp.where(z2 >= 0, z2, slope * z2)
+        acc["out"] = jnp.maximum(acc["out"], h2)
+
+    _extract_loop(scores, k, n, payload)
+    out_ref[0] = acc["out"]
+
+
+@functools.partial(jax.jit, static_argnames=("k", "slope", "interpret"))
+def fused_knn_edge2(
+    graph: jax.Array,
+    a1: jax.Array,
+    b1: jax.Array,
+    s1: jax.Array,
+    t1: jax.Array,
+    w2: jax.Array,
+    s2: jax.Array,
+    t2: jax.Array,
+    k: int,
+    slope: float = 0.2,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Fully fused two-conv EdgeConv block (the partseg/semseg stage shape:
+    conv -> BN -> LeakyReLU -> conv -> BN -> LeakyReLU -> max over k,
+    reference upstream DGCNN_partseg/semseg blocks) — eval mode with folded
+    BN affines.  Neither the edge tensor nor the per-edge hidden (B, N, k, C1)
+    ever exist.
+
+    Args:
+      graph: (B, N, Cg) graph-defining features.
+      a1:    (B, N, C1) neighbour projection (x @ w1_nbr).
+      b1:    (B, N, C1) centre projection (x @ w1_ctr).
+      s1,t1: (C1,) folded BN1 affine.
+      w2:    (C1, C2) second conv kernel.
+      s2,t2: (C2,) folded BN2 affine.
+    Returns:
+      (B, N, C2) block output.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, cg = graph.shape
+    c1 = a1.shape[2]
+    c2 = w2.shape[1]
+    assert _supported(n), f"N={n} must be a multiple of {TILE_N}"
+    assert c2 <= c1, "affine packing assumes C2 <= C1"
+    tile = _pick_tile(n)
+
+    aff = jnp.zeros((4, c1), jnp.float32)
+    aff = aff.at[0].set(s1).at[1].set(t1)
+    aff = aff.at[2, :c2].set(s2).at[3, :c2].set(t2)
+
+    kernel = functools.partial(_knn_edge2_kernel, k, slope)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, cg), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, cg), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c1), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, c1), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c1, c2), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, c1), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, c2), lambda bi, ti: (bi, ti, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, c2), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_auto_interpret(interpret),
+    )(graph, graph, a1, b1, w2, aff)
+
+
 def _knn_only_kernel(k, q_ref, x_ref, idx_ref):
     n = x_ref.shape[1]
     scores = _scores(q_ref[0], x_ref[0])

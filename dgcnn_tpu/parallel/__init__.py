@@ -9,6 +9,11 @@ from dgcnn_tpu.parallel.mesh import (
     make_mesh,
     replicated,
 )
+from dgcnn_tpu.parallel.point_sharded import (
+    sharded_edge_conv_fused,
+    sharded_gather_neighbors,
+    sharded_knn,
+)
 
 __all__ = [
     "jit_data_parallel",
@@ -18,4 +23,7 @@ __all__ = [
     "distributed_init",
     "make_mesh",
     "replicated",
+    "sharded_edge_conv_fused",
+    "sharded_gather_neighbors",
+    "sharded_knn",
 ]

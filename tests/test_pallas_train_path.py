@@ -90,3 +90,25 @@ def test_fused_eval_matches_xla(force_pallas):
     a_, b_ = np.asarray(out_b).ravel(), np.asarray(out_x).ravel()
     assert (np.abs(a_ - b_) < 0.05).mean() > 0.99
     assert np.corrcoef(a_, b_)[0, 1] > 0.999
+
+
+def test_fused_edge2_block_matches_xla(force_pallas):
+    """The fully fused two-conv stage (partseg/semseg blocks) in eval mode
+    equals the XLA composition under exact-select settings."""
+    from dgcnn_tpu.models import DGCNNSemSeg
+
+    model = DGCNNSemSeg(emb_dims=16, k=5, dropout=0.0)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.rand(2, 128, 9).astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    os.environ["DGCNN_TPU_PALLAS_EXACT"] = "1"
+    try:
+        with jax.default_matmul_precision("float32"):
+            out_p = model.apply(variables, x, train=False)
+            os.environ["DGCNN_TPU_PALLAS"] = "0"
+            out_x = model.apply(variables, x, train=False)
+    finally:
+        os.environ.pop("DGCNN_TPU_PALLAS_EXACT", None)
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_x), rtol=2e-4, atol=2e-5
+    )
