@@ -75,6 +75,9 @@ def knn(x: jax.Array, k: int) -> jax.Array:
     (ops/pallas_knn.py) — ~6x faster than lax.top_k's sort; neighbour sets are
     identical (fp tie order may swap, which every consumer is invariant to).
     """
+    # neighbour indices carry no gradient (torch.topk semantics); the stop
+    # also keeps autodiff from trying to linearize through the Pallas call
+    x = jax.lax.stop_gradient(x)
     if use_pallas(x.shape[1]):
         from dgcnn_tpu.ops.pallas_knn import knn_pallas
 
