@@ -26,7 +26,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-REF_GPU_CLOUDS_PER_SEC = 500.0
+# Per-config PyTorch-GPU denominators (the reference publishes no throughput
+# numbers, SURVEY.md §6; these are order-of-magnitude estimates for the
+# CUDA-10-era GPUs it targeted):
+#   cls      ~500 clouds/s  (batch 32 in ~60 ms, 1080Ti-class)
+#   partseg  ~30 clouds/s   (the fusion Net round-trips a CPU LAPACK SVD over
+#                            B*N 3xk neighbourhoods every batch,
+#                            model_partseg.py:36-47 — it dominates)
+#   semseg   ~120 clouds/s  (4x the cls point count, O(N^2) knn)
+REF_GPU_CLOUDS_PER_SEC = {"cls": 500.0, "partseg": 30.0, "semseg": 120.0}
 
 MODEL = os.environ.get("BENCH_MODEL", "cls")  # cls | partseg | semseg
 BATCH = int(os.environ.get("BENCH_BATCH", "64"))
@@ -108,7 +116,8 @@ def main() -> None:
                   f"({NUM_POINTS} pts, k={K}, batch {BATCH})",
         "value": round(clouds_per_sec, 1),
         "unit": "clouds/sec",
-        "vs_baseline": round(clouds_per_sec / REF_GPU_CLOUDS_PER_SEC, 2),
+        "vs_baseline": round(
+            clouds_per_sec / REF_GPU_CLOUDS_PER_SEC[MODEL], 2),
     }))
 
 
