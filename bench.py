@@ -2,7 +2,9 @@
 """Headline benchmark: ModelNet40 DGCNN classification inference throughput,
 1024 points, k=20 (BASELINE.json config 1), on one chip.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...} for the
+headline config; ``python bench.py --all`` (or BENCH_MODEL=all) prints one
+line per config (cls / partseg / semseg).
 
 Measurement notes:
   * On the axon-tunnelled TPU, ``block_until_ready`` returns before remote
@@ -12,10 +14,20 @@ Measurement notes:
     and forces a scalar host readback; RPC overhead is removed by
     differencing a 1-iteration run.
   * vs_baseline: the reference publishes no throughput numbers (SURVEY.md
-    §6); the denominator is the commonly measured DGCNN inference rate on the
-    CUDA-10-era GPUs the reference targeted (~batch 32 in ~60 ms on a
-    1080Ti-class card => ~500 clouds/sec).  BASELINE.json's north-star is
-    >=10x that on a v5e chip, i.e. vs_baseline >= 10.
+    §6), so the denominators below are order-of-magnitude ESTIMATES for the
+    CUDA-10-era GPUs it targeted ("denominator_estimated": true in the
+    output):
+      cls      ~500 clouds/s  (batch 32 in ~60 ms, 1080Ti-class)
+      partseg  ~30 clouds/s   (the fusion Net round-trips a CPU LAPACK SVD
+                               over B*N 3xk neighbourhoods every batch,
+                               reference models/model_partseg.py:36-47)
+      semseg   ~120 clouds/s  (4x the cls point count, O(N^2) knn)
+  * mfu: analytic model FLOPs per cloud divided by the v5e bf16 peak
+    (197 TFLOP/s).  FLOPs counted as executed on the MXU — including the
+    one-hot selection matmuls of the fused kNN kernel, which is how this
+    design buys its speed (selection rides the MXU instead of an HBM
+    gather).  A "useful-FLOPs-only" MFU (conv/matmul math a naive
+    implementation would also do) is reported as mfu_algorithmic.
 """
 from __future__ import annotations
 
@@ -26,50 +38,81 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Per-config PyTorch-GPU denominators (the reference publishes no throughput
-# numbers, SURVEY.md §6; these are order-of-magnitude estimates for the
-# CUDA-10-era GPUs it targeted):
-#   cls      ~500 clouds/s  (batch 32 in ~60 ms, 1080Ti-class)
-#   partseg  ~30 clouds/s   (the fusion Net round-trips a CPU LAPACK SVD over
-#                            B*N 3xk neighbourhoods every batch,
-#                            model_partseg.py:36-47 — it dominates)
-#   semseg   ~120 clouds/s  (4x the cls point count, O(N^2) knn)
 REF_GPU_CLOUDS_PER_SEC = {"cls": 500.0, "partseg": 30.0, "semseg": 120.0}
+V5E_PEAK_BF16 = 197e12
 
-MODEL = os.environ.get("BENCH_MODEL", "cls")  # cls | partseg | semseg
+MODEL = os.environ.get("BENCH_MODEL", "cls")  # cls | partseg | semseg | all
 BATCH = int(os.environ.get("BENCH_BATCH", "64"))
-NUM_POINTS = int(os.environ.get(
-    "BENCH_POINTS", {"cls": "1024", "partseg": "2048", "semseg": "4096"}[MODEL]))
-K = int(os.environ.get("BENCH_K", {"cls": "20", "partseg": "32",
-                                   "semseg": "20"}[MODEL]))
 ITERS = int(os.environ.get("BENCH_ITERS", "30"))
+POINTS = {"cls": 1024, "partseg": 2048, "semseg": 4096}
+KS = {"cls": 20, "partseg": 32, "semseg": 20}
 
 
-def main() -> None:
-    from dgcnn_tpu.utils import enable_compilation_cache
+def _edge_conv_flops(n: int, k: int, c_graph: int, cins: list[int],
+                     couts: list[int]) -> float:
+    """Per-cloud MXU FLOPs of fused EdgeConv stages: distance-scores matmul
+    (N^2 C), k one-hot selection matmuls (k N^2 Co), and the two weight
+    projections (2 N C Co)."""
+    total = 0.0
+    cg = c_graph
+    for cin, co in zip(cins, couts):
+        total += 2.0 * n * n * cg          # scores (graph feature dim cg)
+        total += 2.0 * k * n * n * co      # selection matmuls
+        total += 2.0 * 2.0 * n * cin * co  # w_nbr / w_ctr projections
+        cg = co
+    return total
 
-    enable_compilation_cache()
 
+def _algorithmic_flops(n: int, k: int, cins: list[int],
+                       couts: list[int]) -> float:
+    """FLOPs a naive EdgeConv would spend on conv math alone (edge tensor
+    conv: N*k*2C*Co MACs per stage) — excludes knn selection."""
+    return sum(2.0 * n * k * 2 * cin * co for cin, co in zip(cins, couts))
+
+
+def model_flops_per_cloud(model: str, n: int, k: int) -> tuple[float, float]:
+    """(mxu_flops, algorithmic_flops) per cloud for the bench model configs."""
+    if model == "cls":
+        mxu = _edge_conv_flops(n, k, 3, [3, 64, 64, 128], [64, 64, 128, 256])
+        mxu += 2.0 * n * 512 * 1024            # conv5
+        alg = _algorithmic_flops(n, k, [3, 64, 64, 128], [64, 64, 128, 256])
+        alg += 2.0 * n * 512 * 1024
+        return mxu, alg
+    if model == "semseg":
+        mxu = _edge_conv_flops(n, k, 3, [9, 64, 64], [64, 64, 64])
+        mxu += 2.0 * 2.0 * k * n * 64 * 64  # per-edge conv2 of stages 1-2
+        mxu += 2.0 * n * (192 * 1024 + 1216 * 512 + 512 * 256 + 256 * 13)
+        alg = _algorithmic_flops(n, k, [9, 64, 64], [64, 64, 64])
+        alg += 2.0 * 2.0 * k * n * 64 * 64
+        alg += 2.0 * n * (192 * 1024 + 1216 * 512 + 512 * 256 + 256 * 13)
+        return mxu, alg
+    return 0.0, 0.0  # partseg fusion Net: attention-heavy, not counted
+
+
+def run_config(model_key: str) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
 
+    num_points = int(os.environ.get("BENCH_POINTS", POINTS[model_key]))
+    k = int(os.environ.get("BENCH_K", KS[model_key]))
+
     rng = np.random.RandomState(0)
-    if MODEL == "cls":
+    if model_key == "cls":
         from dgcnn_tpu.models import DGCNNCls
 
-        model = DGCNNCls(emb_dims=1024, k=K, output_channels=40)
+        model = DGCNNCls(emb_dims=1024, k=k, output_channels=40)
         points = jnp.asarray(
-            rng.randn(BATCH, NUM_POINTS, 3).astype(np.float32))
+            rng.randn(BATCH, num_points, 3).astype(np.float32))
         args = (points,)
         name = "DGCNN-cls"
-    elif MODEL == "partseg":
+    elif model_key == "partseg":
         from dgcnn_tpu.models import Net
 
-        model = Net(emb_dim=512, k=K, n_heads=2, n_blocks=2, ff_dims=512,
+        model = Net(emb_dim=512, k=k, n_heads=2, n_blocks=2, ff_dims=512,
                     d_qkv=64, nclasses=50)
         points = jnp.asarray(
-            rng.randn(BATCH, NUM_POINTS, 3).astype(np.float32))
+            rng.randn(BATCH, num_points, 3).astype(np.float32))
         lbl = jnp.asarray(
             np.eye(16, dtype=np.float32)[rng.randint(0, 16, BATCH)])
         args = (points, lbl)
@@ -77,9 +120,9 @@ def main() -> None:
     else:
         from dgcnn_tpu.models import DGCNNSemSeg
 
-        model = DGCNNSemSeg(emb_dims=1024, k=K)
+        model = DGCNNSemSeg(emb_dims=1024, k=k)
         points = jnp.asarray(
-            rng.rand(BATCH, NUM_POINTS, 9).astype(np.float32))
+            rng.rand(BATCH, num_points, 9).astype(np.float32))
         args = (points,)
         name = "DGCNN-semseg"
 
@@ -111,14 +154,35 @@ def main() -> None:
     per_iter = (total - base) / (ITERS - 1)
 
     clouds_per_sec = BATCH / per_iter
-    print(json.dumps({
+    result = {
         "metric": f"{name} inference clouds/sec/chip "
-                  f"({NUM_POINTS} pts, k={K}, batch {BATCH})",
+                  f"({num_points} pts, k={k}, batch {BATCH})",
         "value": round(clouds_per_sec, 1),
         "unit": "clouds/sec",
         "vs_baseline": round(
-            clouds_per_sec / REF_GPU_CLOUDS_PER_SEC[MODEL], 2),
-    }))
+            clouds_per_sec / REF_GPU_CLOUDS_PER_SEC[model_key], 2),
+        "denominator_clouds_per_sec": REF_GPU_CLOUDS_PER_SEC[model_key],
+        "denominator_estimated": True,
+    }
+    mxu_flops, alg_flops = model_flops_per_cloud(model_key, num_points, k)
+    if mxu_flops:
+        achieved = clouds_per_sec * mxu_flops
+        result["tflops"] = round(achieved / 1e12, 1)
+        result["mfu"] = round(achieved / V5E_PEAK_BF16, 3)
+        result["mfu_algorithmic"] = round(
+            clouds_per_sec * alg_flops / V5E_PEAK_BF16, 4)
+    return result
+
+
+def main() -> None:
+    from dgcnn_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    configs = (["cls", "partseg", "semseg"]
+               if (MODEL == "all" or "--all" in sys.argv) else [MODEL])
+    for key in configs:
+        print(json.dumps(run_config(key)), flush=True)
 
 
 if __name__ == "__main__":

@@ -259,15 +259,15 @@ class DGCNNSemSeg(nn.Module):
         ax = self.axis_name
         b, n, _ = x.shape
         # first graph: neighbours by normalized room coords (channels 6:9)
-        idx = knn(x[..., 6:9], self.k)
-        h = EdgeConv(64, pool=False, axis_name=ax, name="conv1")(x, idx, train)
-        h = ConvBN(64, axis_name=ax, name="conv2")(h, train)
-        x1 = jnp.max(h, axis=2)
+        x1 = _edge_block2(
+            EdgeConv(64, pool=False, axis_name=ax, name="conv1"),
+            ConvBN(64, axis_name=ax, name="conv2"),
+            x, x[..., 6:9], self.k, train)
 
-        idx = knn(x1, self.k)
-        h = EdgeConv(64, pool=False, axis_name=ax, name="conv3")(x1, idx, train)
-        h = ConvBN(64, axis_name=ax, name="conv4")(h, train)
-        x2 = jnp.max(h, axis=2)
+        x2 = _edge_block2(
+            EdgeConv(64, pool=False, axis_name=ax, name="conv3"),
+            ConvBN(64, axis_name=ax, name="conv4"),
+            x1, x1, self.k, train)
 
         x3 = EdgeConv(64, axis_name=ax, name="conv5")(x2, train=train,
                                                       graph=x2, k=self.k)

@@ -174,14 +174,11 @@ class EdgeConv(nn.Module):
             )
             if self.pool and use_pallas(graph.shape[1]):
                 # fully fused Pallas path (both train and eval)
-                from dgcnn_tpu.ops.pallas_knn import (
-                    fused_knn_reduce,
-                    knn_edge_reduce,
-                )
+                from dgcnn_tpu.ops.pallas_knn import knn_edge_reduce
 
-                a = edge_conv._project(x, w_nbr)
-                b = edge_conv._project(x, w_ctr)
                 if train:
+                    a = edge_conv._project(x, w_nbr)
+                    b = edge_conv._project(x, w_ctr)
                     _, amax, amin, asum, asumsq = knn_edge_reduce(graph, a, k)
                     # BN stats of the virtual edge tensor from kernel sums
                     mean_ag = jnp.mean(asum, axis=(0, 1)) / k
@@ -200,13 +197,18 @@ class EdgeConv(nn.Module):
                     # DGCNN_TPU_PALLAS_EXACT=1 forces f32 for parity checks.
                     import os as _os
 
+                    from dgcnn_tpu.ops.pallas_knn import fused_edge_conv_eval
+
                     sel_dt = (jnp.float32
                               if _os.environ.get("DGCNN_TPU_PALLAS_EXACT")
                               else jnp.bfloat16)
-                    _, amax, amin, _ = fused_knn_reduce(
-                        graph, a, k, select_dtype=sel_dt
-                    )
-                    mean, var = ra_mean.value, ra_var.value
+                    s, t = edge_conv.fold_bn(
+                        scale, bias, ra_mean.value, ra_var.value, self.eps)
+                    # whole stage in one kernel: projections, selection,
+                    # reduction, BN affine + LeakyReLU epilogue
+                    return fused_edge_conv_eval(
+                        graph, x, w_nbr, w_ctr, s, t, k,
+                        self.negative_slope, select_dtype=sel_dt)
                 s, t = edge_conv.fold_bn(scale, bias, mean, var, self.eps)
                 sel = jnp.where(s > 0, amax, amin) + b
                 return leaky_relu(sel * s + t, self.negative_slope)
