@@ -79,13 +79,42 @@ def _scores(xq, xall):
     return 2.0 * inner - qq - aa.T
 
 
+def _split3(a: jax.Array) -> tuple[jax.Array, ...]:
+    """Exact 3-way bf16 split of an f32 array: a == hi + mid + lo (the 24
+    mantissa bits land in three 8-bit bf16 chunks, all sums exactly
+    representable)."""
+    hi = a.astype(jnp.bfloat16)
+    r1 = a - hi.astype(jnp.float32)
+    mid = r1.astype(jnp.bfloat16)
+    lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, mid, lo
+
+
+def _onehot_dot(onehot, parts, dims=(((1,), (0,)), ((), ()))):
+    """Sum of single-pass bf16 matmuls against the split operand.  With a
+    0/1 one-hot (exact in bf16) this reconstructs the f32 selection exactly
+    at 3 MXU passes — half the cost of a Precision.HIGHEST f32 matmul, which
+    needlessly splits the one-hot operand too."""
+    out = None
+    for p in parts:
+        d = jax.lax.dot_general(
+            onehot, p, dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        )
+        out = d if out is None else out + d
+    return out
+
+
 def _knn_reduce_kernel(k, select_dtype, with_sumsq, q_ref, x_ref, a_ref,
                        idx_ref, amax_ref, amin_ref, asum_ref, *maybe_sq_ref):
     n = x_ref.shape[1]
     co = a_ref.shape[2]
     tile = q_ref.shape[1]
     scores = _scores(q_ref[0], x_ref[0])
-    a = a_ref[0].astype(select_dtype)
+    # f32 mode: exact selection via the 3-way split; bf16 mode: single-pass
+    # (feature values bf16-rounded — fine for inference, argmax-stable)
+    a_parts = (_split3(a_ref[0]) if select_dtype == jnp.float32
+               else (a_ref[0].astype(jnp.bfloat16),))
 
     sel_state = {
         "amax": jnp.full((tile, co), -jnp.inf, jnp.float32),
@@ -94,25 +123,15 @@ def _knn_reduce_kernel(k, select_dtype, with_sumsq, q_ref, x_ref, a_ref,
         "asumsq": jnp.zeros((tile, co), jnp.float32),
     }
 
-    # one-hot selection: with bf16 the 0/1 operand is exact and feature
-    # values round to bf16 (fast); f32 requests full-precision multiplies
-    sel_precision = (jax.lax.Precision.HIGHEST
-                     if select_dtype == jnp.float32 else None)
-
     def payload(onehot, t):
-        sel = jax.lax.dot_general(
-            onehot, a,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            precision=sel_precision,
-            preferred_element_type=jnp.float32,
-        )
+        sel = _onehot_dot(onehot, a_parts)
         sel_state["amax"] = jnp.maximum(sel_state["amax"], sel)
         sel_state["amin"] = jnp.minimum(sel_state["amin"], sel)
         sel_state["asum"] = sel_state["asum"] + sel
         if with_sumsq:
             sel_state["asumsq"] = sel_state["asumsq"] + jnp.square(sel)
 
-    idx = _extract_loop(scores, k, n, payload, onehot_dtype=select_dtype)
+    idx = _extract_loop(scores, k, n, payload, onehot_dtype=jnp.bfloat16)
     idx_ref[0] = idx
     amax_ref[0] = sel_state["amax"]
     amin_ref[0] = sel_state["amin"]
@@ -224,14 +243,105 @@ def knn_edge_reduce(xg: jax.Array, a: jax.Array, k: int):
 
 def _ker_fwd(xg, a, k):
     out = fused_knn_reduce(xg, a, k, select_dtype=jnp.float32, with_sumsq=True)
-    idx = out[0]
-    return out, (xg, a, idx)
+    idx, amax, amin = out[0], out[1], out[2]
+    return out, (xg, a, idx, amax, amin)
 
 
-def _ker_bwd(k, res, cts):
+def _edge_reduce_bwd_kernel(k, idx_ref, a_ref, amax_ref, amin_ref,
+                            ctmax_ref, ctmin_ref, ctsum_ref, ctsq_ref,
+                            da_ref, sel_scratch):
+    """Backward of the fused kNN reductions without any HBM gather.
+
+    One-hots come straight from the saved indices (a compare, no extraction),
+    selections are recomputed exactly (one-hot matmul at HIGHEST precision =
+    exact row extraction), max/min cotangents split evenly among ties
+    (matching jax.lax.reduce_max/min VJP), and the scatter back to ``da`` is
+    a transposed one-hot matmul accumulated across the tile grid.
+    """
+    from jax.experimental import pallas as pl
+
+    n = a_ref.shape[1]
+    co = a_ref.shape[2]
+    tile = idx_ref.shape[1]
+    ti = pl.program_id(1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile, n), 1)
+    a = a_ref[0]
+    amax = amax_ref[0]
+    amin = amin_ref[0]
+    idx = idx_ref[0]
+
+    # pass 1: recompute selections, count max/min ties per (row, channel)
+    a_parts = _split3(a)
+    cmax = jnp.zeros((tile, co), jnp.float32)
+    cmin = jnp.zeros((tile, co), jnp.float32)
+    for t in range(k):
+        onehot = (col == idx[:, t:t + 1]).astype(jnp.bfloat16)
+        sel = _onehot_dot(onehot, a_parts)
+        sel_scratch[t] = sel
+        cmax = cmax + (sel == amax).astype(jnp.float32)
+        cmin = cmin + (sel == amin).astype(jnp.float32)
+
+    gmax = ctmax_ref[0] / cmax
+    gmin = ctmin_ref[0] / cmin
+    gsum = ctsum_ref[0]
+    gsq2 = 2.0 * ctsq_ref[0]
+
+    @pl.when(ti == 0)
+    def _():
+        da_ref[0] = jnp.zeros((n, co), jnp.float32)
+
+    # pass 2: per-edge cotangent, scattered via the transposed one-hot
+    for t in range(k):
+        sel = sel_scratch[t]
+        w = (jnp.where(sel == amax, gmax, 0.0)
+             + jnp.where(sel == amin, gmin, 0.0)
+             + gsum + sel * gsq2)
+        onehot = (col == idx[:, t:t + 1]).astype(jnp.bfloat16)
+        da_ref[0] = da_ref[0] + _onehot_dot(
+            onehot, _split3(w), dims=(((0,), (0,)), ((), ())))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def edge_reduce_bwd(idx, a, amax, amin, ct_max, ct_min, ct_sum, ct_sumsq,
+                    k: int, *, interpret: bool | None = None):
+    """da of (amax, amin, asum, asumsq) w.r.t. ``a`` — see bwd kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, co = a.shape
+    # tile bounded by the (k, tile, co) selection scratch (~4MB budget)
+    tile = TILE_N
+    for cand in (512, 256, 128):
+        if n % cand == 0 and k * cand * co * 4 <= 4 * 1024 * 1024:
+            tile = cand
+            break
+    red_spec = pl.BlockSpec((1, tile, co), lambda bi, ti: (bi, ti, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_edge_reduce_bwd_kernel, k),
+        grid=(b, n // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, k), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, co), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            red_spec, red_spec, red_spec, red_spec, red_spec, red_spec,
+        ],
+        out_specs=pl.BlockSpec((1, n, co), lambda bi, ti: (bi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, co), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((k, tile, co), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_auto_interpret(interpret),
+    )(idx, a, amax, amin, ct_max, ct_min, ct_sum, ct_sumsq)
+
+
+def _ker_bwd_xla(a, idx, cts):
+    """XLA fallback backward: gather-recompute + autodiff (the pre-Pallas
+    path; kept as the reference semantics and the small-N fallback)."""
     from dgcnn_tpu.ops.graph import gather_neighbors
 
-    xg, a, idx = res
     _, ct_max, ct_min, ct_sum, ct_sumsq = cts
 
     def reductions(a_):
@@ -245,6 +355,14 @@ def _ker_bwd(k, res, cts):
 
     _, vjp = jax.vjp(reductions, a)
     (da,) = vjp((ct_max, ct_min, ct_sum, ct_sumsq))
+    return da
+
+
+def _ker_bwd(k, res, cts):
+    xg, a, idx, amax, amin = res
+    _, ct_max, ct_min, ct_sum, ct_sumsq = cts
+    da = edge_reduce_bwd(idx, a, amax, amin, ct_max, ct_min, ct_sum,
+                         ct_sumsq, k)
     # graph tensor receives no gradient through the (non-diff) neighbour
     # selection — torch.topk semantics
     return jnp.zeros_like(xg), da

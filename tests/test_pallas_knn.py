@@ -57,3 +57,35 @@ def test_unaligned_n_rejected():
     x = jnp.zeros((1, 100, 3))
     with pytest.raises(AssertionError):
         knn_pallas(x, 4, interpret=True)
+
+
+def test_pallas_backward_matches_xla_with_ties():
+    """edge_reduce_bwd (the no-gather Pallas backward) == the XLA
+    gather-recompute backward, including even tie-splitting of max/min
+    cotangents (jax.lax.reduce_max/min VJP convention) on duplicated
+    neighbours with duplicated values."""
+    from dgcnn_tpu.ops.pallas_knn import (
+        _ker_bwd_xla,
+        edge_reduce_bwd,
+        fused_knn_reduce,
+    )
+
+    rng = np.random.RandomState(3)
+    k = 6
+    xn = rng.randn(2, 128, 4).astype(np.float32)
+    xn[:, 30] = xn[:, 10]  # duplicate points -> exact distance ties
+    x = jnp.asarray(xn)
+    an = rng.randn(2, 128, 8).astype(np.float32)
+    an[:, 30] = an[:, 10]  # tied VALUES too -> max/min grad splits
+    a = jnp.asarray(an)
+
+    out = fused_knn_reduce(x, a, k, select_dtype=jnp.float32,
+                           with_sumsq=True, interpret=True)
+    idx, amax, amin = out[0], out[1], out[2]
+    cts = tuple(jnp.asarray(rng.randn(*o.shape).astype(np.float32))
+                for o in out)
+    da_xla = _ker_bwd_xla(a, idx, cts)
+    da_pl = edge_reduce_bwd(idx, a, amax, amin, cts[1], cts[2], cts[3],
+                            cts[4], k, interpret=True)
+    np.testing.assert_allclose(np.asarray(da_pl), np.asarray(da_xla),
+                               rtol=1e-5, atol=1e-5)
