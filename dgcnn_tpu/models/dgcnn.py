@@ -29,10 +29,12 @@ from dgcnn_tpu.ops.knn import knn
 
 def _edge_block2(ec, cb, x, graph, k, train, slope=0.2, eps=1e-5):
     """Two-conv EdgeConv stage: conv1(edge) -> BN -> LReLU -> conv2 -> BN ->
-    LReLU -> max over k (the upstream partseg/semseg block shape).  On TPU in
-    eval mode the whole stage runs as one fused Pallas kernel
-    (ops/pallas_knn.fused_knn_edge2) — neither the edge tensor nor the
-    per-edge hidden activations are materialized."""
+    LReLU -> max over k (the upstream partseg/semseg block shape).  On TPU the
+    per-edge tensors never exist: eval runs one fused Pallas kernel
+    (ops/pallas_knn.fused_knn_edge2); training runs the extraction kernel for
+    idx + BN1 statistics (knn_edge_reduce) followed by the index-driven
+    edge2_reduce kernel for BN2 statistics and the max/min reduction, with a
+    Pallas custom VJP."""
     from dgcnn_tpu.ops.knn import use_pallas
 
     if (not train) and use_pallas(graph.shape[1]):
@@ -47,6 +49,33 @@ def _edge_block2(ec, cb, x, graph, k, train, slope=0.2, eps=1e-5):
         a1 = _project(x, w_nbr)
         b1 = _project(x, w_ctr)
         return fused_knn_edge2(graph, a1, b1, s1, t1, k2, s2, t2, k, slope)
+    if train and use_pallas(graph.shape[1]):
+        from dgcnn_tpu.ops.edge_conv import _project
+        from dgcnn_tpu.ops.pallas_knn import edge2_reduce, knn_edge_reduce
+
+        w_nbr, w_ctr, _, _, _, _ = ec(x, return_params=True)
+        dummy = jnp.zeros((1, w_nbr.shape[1]), jnp.float32)
+        w2, _, _, _, _ = cb(dummy, return_params=True)
+        a1 = _project(x, w_nbr)
+        b1 = _project(x, w_ctr)
+        idx, _, _, asum1, asumsq1 = knn_edge_reduce(graph, a1, k)
+        # BN1 statistics of the virtual per-edge conv1 output, in closed form
+        mean1 = jnp.mean(asum1, axis=(0, 1)) / k + jnp.mean(b1, axis=(0, 1))
+        e_ag2 = jnp.mean(asumsq1, axis=(0, 1)) / k
+        e_ab = jnp.mean(asum1 / k * b1, axis=(0, 1))
+        e_b2 = jnp.mean(jnp.square(b1), axis=(0, 1))
+        var1 = jnp.maximum(
+            e_ag2 + 2 * e_ab + e_b2 - jnp.square(mean1), 0.0)
+        count = x.shape[0] * x.shape[1] * k
+        s1, t1 = ec(x, push_stats=(mean1, var1, count))
+        mx2, mn2, sm2, sq2 = edge2_reduce(a1, b1, s1, t1, w2, idx, k, slope)
+        mean2 = jnp.mean(sm2, axis=(0, 1)) / k
+        var2 = jnp.maximum(
+            jnp.mean(sq2, axis=(0, 1)) / k - jnp.square(mean2), 0.0)
+        s2, t2 = cb(dummy, push_stats=(mean2, var2, count))
+        # max over k of lrelu(s2*z2+t2) == lrelu(s2*(s2>0 ? max : min) + t2)
+        sel2 = jnp.where(s2 > 0, mx2, mn2)
+        return leaky_relu(sel2 * s2 + t2, slope)
     h = ec(x, knn(graph, k), train)
     h = cb(h, train)
     return jnp.max(h, axis=2)

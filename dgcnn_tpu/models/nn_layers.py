@@ -35,7 +35,7 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
-                 return_params: bool = False):
+                 return_params: bool = False, push_stats=None):
         features = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (features,))
         bias = self.param("bias", nn.initializers.zeros, (features,))
@@ -50,6 +50,23 @@ class BatchNorm(nn.Module):
             # consumers (ops/pallas_knn.fused_knn_edge2); x is a dummy that
             # only fixes the feature count
             return scale, bias, ra_mean.value, ra_var.value
+        if push_stats is not None:
+            # externally computed batch statistics (fused-kernel training
+            # paths): cross-replica sync, running update, folded affine back
+            mean, var, count = push_stats
+            if self.axis_name is not None:
+                e2 = jax.lax.pmean(var + jnp.square(mean), self.axis_name)
+                mean = jax.lax.pmean(mean, self.axis_name)
+                var = jnp.maximum(e2 - jnp.square(mean), 0.0)
+                count = count * jax.lax.psum(1, self.axis_name)
+            if not self.is_initializing():
+                m = self.momentum
+                count = jnp.asarray(count, jnp.float32)
+                unbiased = var * (count / jnp.maximum(count - 1, 1))
+                ra_mean.value = (1 - m) * ra_mean.value + m * mean
+                ra_var.value = (1 - m) * ra_var.value + m * unbiased
+            s = scale * jax.lax.rsqrt(var + self.eps)
+            return s, bias - mean * s
         if train:
             axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(x, axis=axes)
@@ -86,9 +103,12 @@ class ConvBN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
-                 return_params: bool = False):
+                 return_params: bool = False, push_stats=None):
         dense = nn.Dense(self.features, use_bias=self.use_bias, name="conv")
         bn = BatchNorm(axis_name=self.axis_name, name="bn")
+        if push_stats is not None:
+            dummy = jnp.zeros((1, self.features), jnp.float32)
+            return bn(dummy, push_stats=push_stats)
         if return_params:
             # kernel via the identity trick (Dense params aren't attribute-
             # accessible from the parent scope); x fixes the input width
@@ -127,6 +147,7 @@ class EdgeConv(nn.Module):
         graph: Optional[jax.Array] = None,
         k: Optional[int] = None,
         return_params: bool = False,
+        push_stats=None,
     ):
         """Either pass precomputed neighbour ``idx`` (B, N, k), or pass the
         ``graph`` tensor + ``k`` and let the layer build the graph itself — on
@@ -167,6 +188,14 @@ class EdgeConv(nn.Module):
             e2 = jax.lax.pmean(var + jnp.square(mean), self.axis_name)
             mean = jax.lax.pmean(mean, self.axis_name)
             return mean, jnp.maximum(e2 - jnp.square(mean), 0.0)
+
+        if push_stats is not None:
+            # externally computed virtual-edge batch statistics (fused
+            # two-conv training path): sync, update running, return folded
+            mean, var, count = push_stats
+            mean, var = cross_replica(mean, var)
+            update_running(mean, var, count)
+            return edge_conv.fold_bn(scale, bias, mean, var, self.eps)
 
         if idx is None:
             assert graph is not None and k is not None, (

@@ -140,6 +140,21 @@ def _knn_reduce_kernel(k, select_dtype, with_sumsq, q_ref, x_ref, a_ref,
         maybe_sq_ref[0][0] = sel_state["asumsq"]
 
 
+def _train_exact() -> bool:
+    """Training selection precision: bf16 single-pass by default (AMP-style,
+    mirroring the reference's fp16 autocast training,
+    main_partseg_dist.py:221); DGCNN_TPU_PALLAS_EXACT=1 forces the exact
+    3-way-split f32 selection (parity tests)."""
+    import os
+
+    return bool(os.environ.get("DGCNN_TPU_PALLAS_EXACT"))
+
+
+def _parts(x, exact: bool):
+    """Split operand for _onehot_dot: exact 3-way f32 or single bf16."""
+    return _split3(x) if exact else (x.astype(jnp.bfloat16),)
+
+
 def _auto_interpret(interpret):
     if interpret is not None:
         return interpret
@@ -225,29 +240,36 @@ def fused_knn_reduce(
     )(x, x, a)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def knn_edge_reduce(xg: jax.Array, a: jax.Array, k: int):
     """Differentiable fused kNN + reductions for the training path.
 
-    Forward = the Pallas kernel (with sum-of-squares for BN statistics).
-    Backward recomputes the small reduction graph from the saved indices with
-    XLA ops and differentiates it — identical cotangents to the XLA path
-    (neighbour indices are non-differentiable, like torch.topk).
+    Forward = the Pallas kernel (with sum-of-squares for BN statistics);
+    backward = the no-gather Pallas scatter kernel.  Selection precision
+    follows _train_exact(): bf16 AMP-style by default, exact f32 under
+    DGCNN_TPU_PALLAS_EXACT=1 (neighbour indices are non-differentiable
+    either way, like torch.topk).
 
     Returns (idx, amax, amin, asum, asumsq).
     """
-    return fused_knn_reduce(
-        xg, a, k, select_dtype=jnp.float32, with_sumsq=True
-    )
+    return _knn_edge_reduce(xg, a, k, _train_exact())
 
 
-def _ker_fwd(xg, a, k):
-    out = fused_knn_reduce(xg, a, k, select_dtype=jnp.float32, with_sumsq=True)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _knn_edge_reduce(xg: jax.Array, a: jax.Array, k: int, exact: bool):
+    """custom-vjp core of knn_edge_reduce (exact is a static flag).
+
+    """
+    dt = jnp.float32 if exact else jnp.bfloat16
+    return fused_knn_reduce(xg, a, k, select_dtype=dt, with_sumsq=True)
+
+
+def _ker_fwd(xg, a, k, exact):
+    out = _knn_edge_reduce(xg, a, k, exact)
     idx, amax, amin = out[0], out[1], out[2]
     return out, (xg, a, idx, amax, amin)
 
 
-def _edge_reduce_bwd_kernel(k, idx_ref, a_ref, amax_ref, amin_ref,
+def _edge_reduce_bwd_kernel(k, exact, idx_ref, a_ref, amax_ref, amin_ref,
                             ctmax_ref, ctmin_ref, ctsum_ref, ctsq_ref,
                             da_ref, sel_scratch):
     """Backward of the fused kNN reductions without any HBM gather.
@@ -271,7 +293,7 @@ def _edge_reduce_bwd_kernel(k, idx_ref, a_ref, amax_ref, amin_ref,
     idx = idx_ref[0]
 
     # pass 1: recompute selections, count max/min ties per (row, channel)
-    a_parts = _split3(a)
+    a_parts = _parts(a, exact)
     cmax = jnp.zeros((tile, co), jnp.float32)
     cmin = jnp.zeros((tile, co), jnp.float32)
     for t in range(k):
@@ -298,27 +320,24 @@ def _edge_reduce_bwd_kernel(k, idx_ref, a_ref, amax_ref, amin_ref,
              + gsum + sel * gsq2)
         onehot = (col == idx[:, t:t + 1]).astype(jnp.bfloat16)
         da_ref[0] = da_ref[0] + _onehot_dot(
-            onehot, _split3(w), dims=(((0,), (0,)), ((), ())))
+            onehot, _parts(w, exact), dims=(((0,), (0,)), ((), ())))
 
 
-@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("k", "exact", "interpret"))
 def edge_reduce_bwd(idx, a, amax, amin, ct_max, ct_min, ct_sum, ct_sumsq,
-                    k: int, *, interpret: bool | None = None):
+                    k: int, *, exact: bool = True,
+                    interpret: bool | None = None):
     """da of (amax, amin, asum, asumsq) w.r.t. ``a`` — see bwd kernel."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, n, co = a.shape
     # tile bounded by the (k, tile, co) selection scratch (~4MB budget)
-    tile = TILE_N
-    for cand in (512, 256, 128):
-        if n % cand == 0 and k * cand * co * 4 <= 4 * 1024 * 1024:
-            tile = cand
-            break
+    tile = _pick_tile_scratch(n, k, co)
     red_spec = pl.BlockSpec((1, tile, co), lambda bi, ti: (bi, ti, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_edge_reduce_bwd_kernel, k),
+        functools.partial(_edge_reduce_bwd_kernel, k, exact),
         grid=(b, n // tile),
         in_specs=[
             pl.BlockSpec((1, tile, k), lambda bi, ti: (bi, ti, 0),
@@ -331,6 +350,8 @@ def edge_reduce_bwd(idx, a, amax, amin, ct_max, ct_min, ct_sum, ct_sumsq,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, co), jnp.float32),
         scratch_shapes=[pltpu.VMEM((k, tile, co), jnp.float32)],
+
+
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_auto_interpret(interpret),
@@ -358,17 +379,17 @@ def _ker_bwd_xla(a, idx, cts):
     return da
 
 
-def _ker_bwd(k, res, cts):
+def _ker_bwd(k, exact, res, cts):
     xg, a, idx, amax, amin = res
     _, ct_max, ct_min, ct_sum, ct_sumsq = cts
     da = edge_reduce_bwd(idx, a, amax, amin, ct_max, ct_min, ct_sum,
-                         ct_sumsq, k)
+                         ct_sumsq, k, exact=exact)
     # graph tensor receives no gradient through the (non-diff) neighbour
     # selection — torch.topk semantics
     return jnp.zeros_like(xg), da
 
 
-knn_edge_reduce.defvjp(_ker_fwd, _ker_bwd)
+_knn_edge_reduce.defvjp(_ker_fwd, _ker_bwd)
 
 
 def _edge_conv1_kernel(k, slope, select_dtype, q_ref, x_ref, xf_ref, xq_ref,
@@ -590,6 +611,282 @@ def fused_knn_edge2(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_auto_interpret(interpret),
     )(graph, graph, a1, b1, w2, aff)
+
+
+def _pick_tile_scratch(n: int, k: int, c: int, budget=4 * 1024 * 1024) -> int:
+    """Largest tile with both the (tile, N) working set ~2MB (bigger spills
+    vector registers at N=4096 — observed 167MB of spill slots) and the
+    (k, tile, c) f32 selection scratch within the VMEM budget."""
+    for cand in (512, 256, 128):
+        if (n % cand == 0 and cand * n * 4 <= 2 * 1024 * 1024
+                and k * cand * c * 4 <= budget):
+            return cand
+    return TILE_N
+
+
+def _edge2_train_kernel(k, slope, exact, idx_ref, a1_ref, b1_ref, aff_ref,
+                        w2_ref,
+                        max_ref, min_ref, sum_ref, sq_ref):
+    """Training statistics of the virtual two-conv EdgeConv stage, driven by
+    precomputed neighbour indices (compare-built one-hots — no extraction):
+    z2[b,i,t] = lrelu(s1*(a1[idx]+b1)+t1) @ w2; outputs max/min/sum/sumsq of
+    z2 over the k neighbours.  Neither per-edge tensor exists in HBM."""
+    n = a1_ref.shape[1]
+    c2 = w2_ref.shape[1]
+    tile = idx_ref.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile, n), 1)
+    a_parts = _parts(a1_ref[0], exact)
+    b1 = b1_ref[0]
+    s1 = aff_ref[0:1, :]
+    t1 = aff_ref[1:2, :]
+    w2 = w2_ref[:]
+    idx = idx_ref[0]
+
+    acc = {
+        "mx": jnp.full((tile, c2), -jnp.inf, jnp.float32),
+        "mn": jnp.full((tile, c2), jnp.inf, jnp.float32),
+        "sm": jnp.zeros((tile, c2), jnp.float32),
+        "sq": jnp.zeros((tile, c2), jnp.float32),
+    }
+    for t in range(k):
+        onehot = (col == idx[:, t:t + 1]).astype(jnp.bfloat16)
+        sel = _onehot_dot(onehot, a_parts)
+        z1 = (sel + b1) * s1 + t1
+        h1 = jnp.where(z1 >= 0, z1, slope * z1)
+        z2 = jax.lax.dot_general(
+            h1, w2,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc["mx"] = jnp.maximum(acc["mx"], z2)
+        acc["mn"] = jnp.minimum(acc["mn"], z2)
+        acc["sm"] = acc["sm"] + z2
+        acc["sq"] = acc["sq"] + jnp.square(z2)
+    max_ref[0] = acc["mx"]
+    min_ref[0] = acc["mn"]
+    sum_ref[0] = acc["sm"]
+    sq_ref[0] = acc["sq"]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "slope", "exact", "interpret"))
+def _edge2_fwd_call(a1, b1, s1, t1, w2, idx, k, slope, exact, interpret=None):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, c1 = a1.shape
+    c2 = w2.shape[1]
+    tile = _pick_tile(n)
+    aff = jnp.stack([s1, t1]).astype(jnp.float32)
+    out = jax.ShapeDtypeStruct((b, n, c2), jnp.float32)
+    out_spec = pl.BlockSpec((1, tile, c2), lambda bi, ti: (bi, ti, 0),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_edge2_train_kernel, k, slope, exact),
+        grid=(b, n // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, k), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c1), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, c1), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, c1), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c1, c2), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(out_spec,) * 4,
+        out_shape=(out,) * 4,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_auto_interpret(interpret),
+    )(idx, a1, b1, aff, w2)
+
+
+def _edge2_bwd_kernel(k, slope, exact, idx_ref, a1_ref, b1_ref, aff_ref,
+                      w2_ref,
+                      mx_ref, mn_ref, ctmx_ref, ctmn_ref, ctsm_ref, ctsq_ref,
+                      da1_ref, db1_ref, dw2_ref, daff_ref, sel_scr):
+    """Backward of _edge2_train_kernel: recompute per-edge values from the
+    saved indices/selection scratch, split max/min cotangents evenly among
+    ties, backprop through conv2 and the BN1 affine, scatter into da1 via
+    transposed one-hots.  dw2/daff accumulate across the whole grid."""
+    from jax.experimental import pallas as pl
+
+    n = a1_ref.shape[1]
+    c1 = a1_ref.shape[2]
+    c2 = w2_ref.shape[1]
+    tile = idx_ref.shape[1]
+    bi = pl.program_id(0)
+    ti = pl.program_id(1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile, n), 1)
+    a_parts = _parts(a1_ref[0], exact)
+    b1 = b1_ref[0]
+    s1 = aff_ref[0:1, :]
+    t1 = aff_ref[1:2, :]
+    w2 = w2_ref[:]
+    idx = idx_ref[0]
+    mx = mx_ref[0]
+    mn = mn_ref[0]
+
+    # pass 1: selections + z2 tie counts
+    cmax = jnp.zeros((tile, c2), jnp.float32)
+    cmin = jnp.zeros((tile, c2), jnp.float32)
+    for t in range(k):
+        onehot = (col == idx[:, t:t + 1]).astype(jnp.bfloat16)
+        sel = _onehot_dot(onehot, a_parts)
+        sel_scr[t] = sel
+        z1 = (sel + b1) * s1 + t1
+        h1 = jnp.where(z1 >= 0, z1, slope * z1)
+        z2 = jax.lax.dot_general(
+            h1, w2, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        cmax = cmax + (z2 == mx).astype(jnp.float32)
+        cmin = cmin + (z2 == mn).astype(jnp.float32)
+
+    gmax = ctmx_ref[0] / cmax
+    gmin = ctmn_ref[0] / cmin
+    gsum = ctsm_ref[0]
+    gsq2 = 2.0 * ctsq_ref[0]
+
+    @pl.when(jnp.logical_and(bi == 0, ti == 0))
+    def _():
+        dw2_ref[...] = jnp.zeros((c1, c2), jnp.float32)
+        daff_ref[...] = jnp.zeros((2, c1), jnp.float32)
+
+    @pl.when(ti == 0)
+    def _():
+        da1_ref[0] = jnp.zeros((n, c1), jnp.float32)
+
+    db1 = jnp.zeros((tile, c1), jnp.float32)
+    ds1 = jnp.zeros((1, c1), jnp.float32)
+    dt1 = jnp.zeros((1, c1), jnp.float32)
+    # pass 2: per-edge cotangents
+    for t in range(k):
+        sel = sel_scr[t]
+        selb = sel + b1
+        z1 = selb * s1 + t1
+        h1 = jnp.where(z1 >= 0, z1, slope * z1)
+        z2 = jax.lax.dot_general(
+            h1, w2, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dz2 = (jnp.where(z2 == mx, gmax, 0.0)
+               + jnp.where(z2 == mn, gmin, 0.0)
+               + gsum + z2 * gsq2)
+        dh1 = jax.lax.dot_general(
+            dz2, w2, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dw2_ref[...] = dw2_ref[...] + jax.lax.dot_general(
+            h1, dz2, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dz1 = dh1 * jnp.where(z1 >= 0, 1.0, slope)
+        ds1 = ds1 + jnp.sum(dz1 * selb, axis=0, keepdims=True)
+        dt1 = dt1 + jnp.sum(dz1, axis=0, keepdims=True)
+        dsel = dz1 * s1
+        db1 = db1 + dsel
+        onehot = (col == idx[:, t:t + 1]).astype(jnp.bfloat16)
+        da1_ref[0] = da1_ref[0] + _onehot_dot(
+            onehot, _parts(dsel, exact), dims=(((0,), (0,)), ((), ())))
+    db1_ref[0] = db1
+    daff_ref[...] = daff_ref[...] + jnp.concatenate([ds1, dt1], axis=0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("k", "slope", "exact", "interpret"))
+def _edge2_bwd_call(a1, b1, s1, t1, w2, idx, mx, mn,
+                    ct_mx, ct_mn, ct_sm, ct_sq, k, slope, exact,
+                    interpret=None):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, c1 = a1.shape
+    c2 = w2.shape[1]
+    tile = _pick_tile_scratch(n, k, c1)
+    aff = jnp.stack([s1, t1]).astype(jnp.float32)
+    spec_c1 = pl.BlockSpec((1, tile, c1), lambda bi, ti: (bi, ti, 0),
+                           memory_space=pltpu.VMEM)
+    spec_c2 = pl.BlockSpec((1, tile, c2), lambda bi, ti: (bi, ti, 0),
+                           memory_space=pltpu.VMEM)
+    da1, db1, dw2, daff = pl.pallas_call(
+        functools.partial(_edge2_bwd_kernel, k, slope, exact),
+        grid=(b, n // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, k), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c1), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            spec_c1,
+            pl.BlockSpec((2, c1), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c1, c2), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            spec_c2, spec_c2, spec_c2, spec_c2, spec_c2, spec_c2,
+        ],
+        out_specs=(
+            pl.BlockSpec((1, n, c1), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            spec_c1,
+            pl.BlockSpec((c1, c2), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, c1), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, c1), jnp.float32),
+            jax.ShapeDtypeStruct((b, n, c1), jnp.float32),
+            jax.ShapeDtypeStruct((c1, c2), jnp.float32),
+            jax.ShapeDtypeStruct((2, c1), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((k, tile, c1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_auto_interpret(interpret),
+    )(idx, a1, b1, aff, w2, mx, mn, ct_mx, ct_mn, ct_sm, ct_sq)
+    return da1, db1, daff[0], daff[1], dw2
+
+
+def edge2_reduce(a1, b1, s1, t1, w2, idx, k: int, slope: float):
+    """Public wrapper: precision follows _train_exact() (bf16 AMP-style by
+    default, exact f32 under DGCNN_TPU_PALLAS_EXACT=1)."""
+    return _edge2_reduce(a1, b1, s1, t1, w2, idx, k, slope, _train_exact())
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _edge2_reduce(a1, b1, s1, t1, w2, idx, k: int, slope: float,
+                  exact: bool):
+    """Differentiable fused two-conv EdgeConv training statistics.
+
+    Given neighbour indices (from ``knn_edge_reduce``), computes the
+    max/min/sum/sumsq over the k neighbours of the virtual second-conv
+    pre-activation ``z2 = lrelu(s1*(a1[idx]+b1)+t1) @ w2`` — the training
+    counterpart of ``fused_knn_edge2`` (reference upstream partseg/semseg
+    blocks, README.md:236).  The per-edge (B,N,k,C) tensors never exist.
+
+    Returns (max2, min2, sum2, sumsq2), each (B, N, C2).
+    """
+    return _edge2_fwd_call(a1, b1, s1, t1, w2, idx, k, slope, exact)
+
+
+def _edge2_fwd(a1, b1, s1, t1, w2, idx, k, slope, exact):
+    out = _edge2_fwd_call(a1, b1, s1, t1, w2, idx, k, slope, exact)
+    mx, mn = out[0], out[1]
+    return out, (a1, b1, s1, t1, w2, idx, mx, mn)
+
+
+def _edge2_bwd(k, slope, exact, res, cts):
+    import numpy as np
+
+    a1, b1, s1, t1, w2, idx, mx, mn = res
+    ct_mx, ct_mn, ct_sm, ct_sq = cts
+    da1, db1, ds1, dt1, dw2 = _edge2_bwd_call(
+        a1, b1, s1, t1, w2, idx, mx, mn, ct_mx, ct_mn, ct_sm, ct_sq,
+        k, slope, exact)
+    didx = np.zeros(idx.shape, jax.dtypes.float0)
+    return da1, db1, ds1, dt1, dw2, didx
+
+
+_edge2_reduce.defvjp(_edge2_fwd, _edge2_bwd)
 
 
 def _knn_only_kernel(k, q_ref, x_ref, idx_ref):
