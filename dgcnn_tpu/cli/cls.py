@@ -80,12 +80,13 @@ def train(args, io: IOStream):
     model = build_model(args)
     state = init_state(args, model, len(train_loader),
                        jax.random.PRNGKey(args.seed))
-    train_step, eval_step = make_cls_steps(model)
+    train_step, eval_step = make_cls_steps(
+        model, remat=getattr(args, "remat", False))
     train_call = build_data_parallel_call(train_step, devices,
                                           args.batch_size, n_sharded=2,
                                           donate=True)
     eval_call = build_data_parallel_call(eval_step, devices,
-                                         args.test_batch_size, n_sharded=2)
+                                         args.test_batch_size, n_sharded=3)
     key = jax.random.PRNGKey(args.seed)
 
     best_test_acc = 0.0
@@ -113,7 +114,8 @@ def train(args, io: IOStream):
 
         meter = MeterAccumulator()
         for batch in device_prefetch(iter(test_loader)):
-            m = eval_call(state, batch["points"], batch["label"].squeeze(-1))
+            m = eval_call(state, batch["points"], batch["label"].squeeze(-1),
+                          batch["mask"])
             meter.add_cls(m["loss"], np.asarray(m["preds"]),
                           np.asarray(batch["label"]).squeeze(-1),
                           np.asarray(batch["mask"]))
@@ -163,10 +165,11 @@ def test(args, io: IOStream):
     )
     _, eval_step = make_cls_steps(model)
     eval_call = build_data_parallel_call(eval_step, devices,
-                                         args.test_batch_size, n_sharded=2)
+                                         args.test_batch_size, n_sharded=3)
     meter = MeterAccumulator()
     for batch in device_prefetch(iter(loader)):
-        m = eval_call(state, batch["points"], batch["label"].squeeze(-1))
+        m = eval_call(state, batch["points"], batch["label"].squeeze(-1),
+                          batch["mask"])
         meter.add_cls(m["loss"], np.asarray(m["preds"]),
                       np.asarray(batch["label"]).squeeze(-1),
                       np.asarray(batch["mask"]))

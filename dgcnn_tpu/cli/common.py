@@ -25,6 +25,14 @@ def add_runtime_flags(parser: argparse.ArgumentParser) -> None:
     parser.add_argument(
         "--debug_nans", type=str2bool, default=False,
         help="enable jax_debug_nans (fail at the op producing a NaN)")
+    parser.add_argument(
+        "--remat", type=str2bool, default=False,
+        help="rematerialize the forward under grad (jax.checkpoint): trades "
+             "FLOPs for activation memory on large N")
+    parser.add_argument(
+        "--orbax", type=str2bool, default=False,
+        help="use orbax for the train/resume checkpoint format (partseg "
+             "trainer; other entry points keep msgpack best-model files)")
 
 
 def apply_runtime_flags(args) -> None:

@@ -99,7 +99,7 @@ def run_epoch_eval(eval_call, state, loader, seg_start_index, visualizer=None):
     for batch in device_prefetch(iter(loader)):
         seg = batch["seg"] - seg_start_index
         lbl1h = one_hot_categories(batch["label"])
-        m = eval_call(state, batch["points"], lbl1h, seg)
+        m = eval_call(state, batch["points"], lbl1h, seg, batch["mask"])
         mask = np.asarray(batch["mask"])
         meter.add_seg(m["loss"], np.asarray(m["preds"]), seg,
                       batch["label"], mask)
@@ -140,18 +140,28 @@ def train(args, io: IOStream):
     model = build_model(args)
     state = init_state(args, model, len(train_loader),
                        jax.random.PRNGKey(args.seed))
-    ckpt_path = f"outputs/{args.exp_name}/checkpoints/ckpt.checkpoint"
+    use_orbax = getattr(args, "orbax", False)
+    if use_orbax:
+        from dgcnn_tpu.train import load_orbax, save_orbax
+        ckpt_path = f"outputs/{args.exp_name}/checkpoints/ckpt.orbax"
+        ckpt_exists = os.path.isdir(ckpt_path)
+        load_ckpt, save_ckpt = load_orbax, save_orbax
+    else:
+        ckpt_path = f"outputs/{args.exp_name}/checkpoints/ckpt.checkpoint"
+        ckpt_exists = os.path.isfile(ckpt_path)
+        load_ckpt, save_ckpt = load_train_checkpoint, save_train_checkpoint
     start_epoch = 0
-    if getattr(args, "resume", False) and os.path.isfile(ckpt_path):
-        state, start_epoch, _ = load_train_checkpoint(ckpt_path, state)
+    if getattr(args, "resume", False) and ckpt_exists:
+        state, start_epoch, _ = load_ckpt(ckpt_path, state)
         io.cprint(f"Resumed from {ckpt_path} at epoch {start_epoch}")
 
-    train_step, eval_step = make_seg_steps(model)
+    train_step, eval_step = make_seg_steps(
+        model, remat=getattr(args, "remat", False))
     train_call = build_data_parallel_call(train_step, devices,
                                           args.batch_size, n_sharded=3,
                                           donate=True)
     eval_call = build_data_parallel_call(eval_step, devices,
-                                         args.test_batch_size, n_sharded=3)
+                                         args.test_batch_size, n_sharded=4)
     key = jax.random.PRNGKey(args.seed)
 
     best_test_iou = 0.0
@@ -190,7 +200,7 @@ def train(args, io: IOStream):
             save_train_checkpoint(
                 f"outputs/{args.exp_name}/models/transformer_{epoch}.checkpoint",
                 state, epoch, meter.mean_loss)
-        save_train_checkpoint(ckpt_path, state, epoch, meter.mean_loss)
+        save_ckpt(ckpt_path, state, epoch, meter.mean_loss)
 
 
 def test(args, io: IOStream):
@@ -215,7 +225,7 @@ def test(args, io: IOStream):
     )
     _, eval_step = make_seg_steps(model)
     eval_call = build_data_parallel_call(eval_step, devices,
-                                         args.test_batch_size, n_sharded=3)
+                                         args.test_batch_size, n_sharded=4)
     visualizer = PartSegVisualizer(
         f"outputs/{args.exp_name}", args.visu, args.visu_format,
         test_ds.partseg_colors, args.class_choice,

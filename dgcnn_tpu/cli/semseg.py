@@ -77,12 +77,13 @@ def train(args, io: IOStream):
     model = build_model(args)
     state = init_state(args, model, len(train_loader),
                        jax.random.PRNGKey(args.seed))
-    train_step, eval_step = make_seg_steps(model, with_label=False)
+    train_step, eval_step = make_seg_steps(
+        model, with_label=False, remat=getattr(args, "remat", False))
     train_call = build_data_parallel_call(train_step, devices,
                                           args.batch_size, n_sharded=2,
                                           donate=True)
     eval_call = build_data_parallel_call(eval_step, devices,
-                                         args.test_batch_size, n_sharded=2)
+                                         args.test_batch_size, n_sharded=3)
     key = jax.random.PRNGKey(args.seed)
 
     best_test_iou = 0.0
@@ -106,7 +107,7 @@ def train(args, io: IOStream):
 
         meter = MeterAccumulator()
         for batch in device_prefetch(iter(test_loader)):
-            m = eval_call(state, batch["points"], batch["seg"])
+            m = eval_call(state, batch["points"], batch["seg"], batch["mask"])
             meter.add_seg(m["loss"], np.asarray(m["preds"]), batch["seg"],
                           None, np.asarray(batch["mask"]))
         t, p = meter.concat()
@@ -143,7 +144,7 @@ def test(args, io: IOStream):
     model = build_model(args)
     _, eval_step = make_seg_steps(model, with_label=False)
     eval_call = build_data_parallel_call(eval_step, devices,
-                                         args.test_batch_size, n_sharded=2)
+                                         args.test_batch_size, n_sharded=3)
     for area in areas:
         if args.test_area == "all" or area == args.test_area:
             test_ds = S3DIS(args.num_points, "test", area, seed=args.seed)
@@ -171,14 +172,22 @@ def test(args, io: IOStream):
                 with open(os.path.join(test_dir, "room_filelist.txt")) as f:
                     rooms = [ln.rstrip() for ln in f]
                 area_rooms = [r for r in rooms if f"Area_{area}" in r]
+                # global start of this area in the filelist — raw_data3d
+                # files are numbered globally (reference main_semseg.py:286-293)
+                offset = 0
+                for r in rooms:
+                    if r[5] == str(area):
+                        break
+                    offset += 1
                 visualizer = SemSegVisualizer(
                     f"outputs/{args.exp_name}", args.visu, args.visu_format,
                     args.test_area, test_ds.semseg_colors, area_rooms,
                     raw_data_dir=os.path.join(test_dir, "raw_data3d"),
+                    index_offset=offset,
                 )
             meter = MeterAccumulator()
             for batch in device_prefetch(iter(loader)):
-                m = eval_call(state, batch["points"], batch["seg"])
+                m = eval_call(state, batch["points"], batch["seg"], batch["mask"])
                 mask = np.asarray(batch["mask"])
                 meter.add_seg(m["loss"], np.asarray(m["preds"]),
                               batch["seg"], None, mask)

@@ -73,6 +73,21 @@ def make_s3dis(root: str, blocks_per_room: int = 4, rooms_per_area: int = 2,
             for room in rooms:
                 for _ in range(blocks_per_room):
                     f.write(room + "\n")
+        if sub.endswith("_test"):
+            # raw per-block xyz dumps, named with the GLOBAL block counter
+            # exactly like gen_indoor3d_h5 (so the visualizer's offset
+            # threading is exercised, reference main_semseg.py:286-293)
+            raw_index = 0
+            for ri, room in enumerate(rooms):
+                area_dir = os.path.join(d, "raw_data3d", f"Area_{room[5]}")
+                os.makedirs(area_dir, exist_ok=True)
+                for b in range(blocks_per_room):
+                    np.savetxt(
+                        os.path.join(
+                            area_dir, f"{room[7:]}({raw_index}).txt"),
+                        data[ri * blocks_per_room + b, :, 0:3],
+                        fmt="%s", delimiter=" ")
+                    raw_index += 1
 
 
 def make_all(root: str, seed: int = 0) -> None:

@@ -1,7 +1,9 @@
 from dgcnn_tpu.train.checkpoint import (
     load_model,
+    load_orbax,
     load_train_checkpoint,
     save_model,
+    save_orbax,
     save_train_checkpoint,
 )
 from dgcnn_tpu.train.engine import (
@@ -28,7 +30,9 @@ from dgcnn_tpu.train.schedules import (
 
 __all__ = [
     "load_model",
+    "load_orbax",
     "load_train_checkpoint",
+    "save_orbax",
     "save_model",
     "save_train_checkpoint",
     "TrainState",

@@ -24,7 +24,11 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from dgcnn_tpu.train.loss import cross_entropy
+from dgcnn_tpu.train.loss import (
+    cross_entropy,
+    cross_entropy_per_example,
+    masked_mean_loss,
+)
 
 
 class TrainState(struct.PyTreeNode):
@@ -128,14 +132,17 @@ def make_cls_steps(model, smoothing: bool = True, remat: bool = False):
         return state, {"loss": loss, "preds": jnp.argmax(logits, -1)}
 
     @jax.jit
-    def eval_step(state: TrainState, points, labels):
+    def eval_step(state: TrainState, points, labels, mask=None):
         logits = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
             points,
             train=False,
         )
+        # padded eval rows (static-shape remainder batches) are masked out
+        # of the reported loss, not just the accuracy
+        per_ex = cross_entropy_per_example(logits, labels, smoothing)
         return {
-            "loss": cross_entropy(logits, labels, smoothing),
+            "loss": masked_mean_loss(per_ex, mask),
             "preds": jnp.argmax(logits, -1),
         }
 
@@ -193,12 +200,13 @@ def make_seg_steps(model, smoothing: bool = True, with_label: bool = True,
         )
         return state, {"loss": loss, "preds": jnp.argmax(logits, -1)}
 
-    def _eval(state: TrainState, points, label_one_hot, seg):
+    def _eval(state: TrainState, points, label_one_hot, seg, mask):
         logits, _ = fwd(
             state.params, state.batch_stats, points, label_one_hot, False, None
         )
+        per_ex = cross_entropy_per_example(logits, seg, smoothing)
         return {
-            "loss": cross_entropy(logits, seg, smoothing),
+            "loss": masked_mean_loss(per_ex, mask),
             "preds": jnp.argmax(logits, -1),
         }
 
@@ -206,13 +214,13 @@ def make_seg_steps(model, smoothing: bool = True, with_label: bool = True,
         def train_step(state, points, label_one_hot, seg, rng):
             return _train(state, points, label_one_hot, seg, rng)
 
-        def eval_step(state, points, label_one_hot, seg):
-            return _eval(state, points, label_one_hot, seg)
+        def eval_step(state, points, label_one_hot, seg, mask=None):
+            return _eval(state, points, label_one_hot, seg, mask)
     else:
         def train_step(state, points, seg, rng):
             return _train(state, points, None, seg, rng)
 
-        def eval_step(state, points, seg):
-            return _eval(state, points, None, seg)
+        def eval_step(state, points, seg, mask=None):
+            return _eval(state, points, None, seg, mask)
 
     return jax.jit(train_step), jax.jit(eval_step)

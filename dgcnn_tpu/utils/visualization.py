@@ -112,7 +112,8 @@ class SemSegVisualizer:
 
     def __init__(self, exp_dir: str, visu: str, visu_format: str,
                  test_choice: str, colors: np.ndarray,
-                 room_filelist: List[str], raw_data_dir: Optional[str] = None):
+                 room_filelist: List[str], raw_data_dir: Optional[str] = None,
+                 index_offset: int = 0):
         self.exp_dir = exp_dir
         self.visu = visu.split("_") if visu else [""]
         self.visu_format = visu_format
@@ -120,6 +121,10 @@ class SemSegVisualizer:
         self.colors = np.asarray(colors)
         self.rooms = room_filelist
         self.raw_data_dir = raw_data_dir
+        # the ETL names raw_data3d files with a GLOBAL block counter across
+        # all areas (gen_indoor3d_h5); index_offset is this area's start in
+        # the global room_filelist (reference main_semseg.py:286-293)
+        self.index_offset = index_offset
         self.index = 0
         self.room_seg: List[np.ndarray] = []
         self.room_pred: List[np.ndarray] = []
@@ -170,7 +175,7 @@ class SemSegVisualizer:
             if self.raw_data_dir:
                 raw = os.path.join(
                     self.raw_data_dir, f"Area_{test_area}",
-                    f"{roomname}({self.index}).txt")
+                    f"{roomname}({self.index + self.index_offset}).txt")
                 if os.path.exists(raw):
                     xyz = np.loadtxt(raw)[:, [1, 2, 0]]
             if xyz is None:

@@ -170,3 +170,76 @@ def test_semseg_eval_with_visu(data_env):
     files = os.listdir(os.path.join(visu_root, rooms[0]))
     assert any("_pred_" in f for f in files)
     assert any(f.endswith("_gt.txt") for f in files)
+    # the raw_data3d lookup must hit with the GLOBAL file index: area 6
+    # is preceded by areas 1-5 in room_filelist (5 areas x 2 rooms x 4
+    # blocks = offset 40 in the synthetic fixture), so office_1's first
+    # block renders raw file office_1(40).txt (axes permuted [1,2,0]) —
+    # NOT the centred block-coordinate fallback
+    import numpy as np
+    raw = os.path.join(os.environ["DGCNN_TPU_DATA"],
+                       "indoor3d_sem_seg_hdf5_data_test", "raw_data3d",
+                       "Area_6", "office_1(40).txt")
+    assert os.path.exists(raw), "fixture should ship raw_data3d"
+    expected = np.loadtxt(raw)[:64][:, [1, 2, 0]]
+    pred_txt = [f for f in os.listdir(os.path.join(visu_root, "office_1"))
+                if "_pred_" in f][0]
+    written = np.loadtxt(os.path.join(visu_root, "office_1", pred_txt))
+    np.testing.assert_allclose(written[:64, :3], expected, atol=1e-5)
+
+
+def test_partseg_orbax_remat_flags(data_env):
+    """--orbax and --remat are live CLI options: orbax checkpoint written,
+    resume restores from it, remat trains without error."""
+    from dgcnn_tpu.cli import partseg
+
+    argv = [
+        "--exp_name=smoke_orbax", "--epochs=1", "--batch_size=8",
+        "--test_batch_size=8", "--num_points=64", "--k=4", "--emb_dim=32",
+        "--ff_dims=16", "--n_heads=2", "--n_blocks=1", "--use_sgd=False",
+        "--scheduler=cycle", "--orbax=True", "--remat=True",
+    ]
+    partseg.main(argv)
+    assert os.path.isdir("outputs/smoke_orbax/checkpoints/ckpt.orbax")
+    assert not os.path.exists(
+        "outputs/smoke_orbax/checkpoints/ckpt.checkpoint")
+    partseg.main(argv + ["--resume=True"])
+    log = open("outputs/smoke_orbax/run.log").read()
+    assert "Resumed from" in log
+
+
+def test_eval_loss_invariant_to_padding():
+    """Padded eval rows must not contaminate the reported loss (the meters
+    already mask accuracy/IoU; the loss mean is masked in the step)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from dgcnn_tpu.models import PointNet
+    from dgcnn_tpu.train import TrainState, make_cls_steps, make_optimizer
+
+    model = PointNet(emb_dims=32, output_channels=40)
+    rng = np.random.RandomState(0)
+    pts = rng.randn(4, 16, 3).astype(np.float32)
+    labels = rng.randint(0, 40, 4)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.asarray(pts), train=False)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        tx=make_optimizer(use_sgd=True, schedule=lambda _: 0.0))
+    _, eval_step = make_cls_steps(model)
+
+    full = eval_step(state, jnp.asarray(pts), jnp.asarray(labels),
+                     jnp.ones(4, bool))
+    # pad rows 2-3 with duplicates of row 0 (what the loader does) and mask
+    padded_pts = np.concatenate([pts[:2], pts[:1], pts[:1]])
+    padded_lbl = np.concatenate([labels[:2], labels[:1], labels[:1]])
+    mask = jnp.asarray([True, True, False, False])
+    padded = eval_step(state, jnp.asarray(padded_pts),
+                       jnp.asarray(padded_lbl), mask)
+    only2 = eval_step(state, jnp.asarray(pts[:2]), jnp.asarray(labels[:2]),
+                      jnp.ones(2, bool))
+    np.testing.assert_allclose(float(padded["loss"]), float(only2["loss"]),
+                               rtol=1e-6)
+    assert abs(float(full["loss"]) - float(padded["loss"])) > 0  # sanity
