@@ -161,6 +161,160 @@ def room_to_samples_normalized(
     return out, labels
 
 
+# ---------------------------------------------------------------------------
+# Instance bounding boxes (detection evaluation exporters; behavioural spec:
+# reference prepare_data/indoor3d_util.py:353-598).  Boxes are axis-aligned
+# per-instance AABBs over the room's annotation files, with the room shifted
+# so its most negative box corner is the origin.
+# ---------------------------------------------------------------------------
+
+def _iter_instances(anno_path: str):
+    """(points, label) per annotation file, unknown classes -> clutter."""
+    for f in sorted(glob.glob(os.path.join(anno_path, "*.txt"))):
+        cls = os.path.basename(f).split("_")[0]
+        if cls not in CLASS2LABEL:
+            cls = "clutter"
+        yield np.loadtxt(f), CLASS2LABEL[cls]
+
+
+def collect_bounding_box(anno_path: str, out_filename: str) -> np.ndarray:
+    """Per-instance axis-aligned bounding boxes of one room.
+
+    Writes one text line per instance: ``x1 y1 z1 x2 y2 z2 label`` with
+    (x1,y1,z1) the corner closest to the origin (reference
+    indoor3d_util.py:353-391).  Returns the (K, 7) array.
+    """
+    rows = []
+    for pts, lab in _iter_instances(anno_path):
+        lo = pts[:, 0:3].min(axis=0)
+        hi = pts[:, 0:3].max(axis=0)
+        rows.append(np.concatenate([lo, hi, [lab]]))
+    bbox_label = np.stack(rows)
+    room_min = bbox_label[:, 0:3].min(axis=0)
+    bbox_label[:, 0:3] -= room_min
+    bbox_label[:, 3:6] -= room_min
+    with open(out_filename, "w") as f:
+        for r in bbox_label:
+            f.write("%f %f %f %f %f %f %d\n" % (*r[:6], int(r[6])))
+    return bbox_label
+
+
+def collect_point_bounding_box(anno_path: str, out_filename: str,
+                               file_format: str = "numpy") -> np.ndarray:
+    """Per-point parent-instance bounding boxes of one room.
+
+    Each row is ``XYZRGB L offsetX offsetY offsetZ a b c`` where the box
+    center is point + offset and (a, b, c) are the center-to-surface
+    half-extents (reference indoor3d_util.py:548-598).  Returns the (N, 13)
+    array; writes txt or .npy per ``file_format``.
+    """
+    rows = []
+    for pts, lab in _iter_instances(anno_path):
+        lo = pts[:, 0:3].min(axis=0)
+        hi = pts[:, 0:3].max(axis=0)
+        center = (lo + hi) / 2
+        half = (hi - lo) / 2
+        n = pts.shape[0]
+        rows.append(np.concatenate([
+            pts,
+            np.full((n, 1), lab, pts.dtype),
+            center - pts[:, 0:3],
+            np.broadcast_to(half, (n, 3)),
+        ], axis=1))
+    point_bbox = np.concatenate(rows, 0)
+    point_bbox[:, 0:3] -= point_bbox[:, 0:3].min(axis=0)
+    if file_format == "txt":
+        with open(out_filename, "w") as f:
+            for r in point_bbox:
+                f.write("%f %f %f %d %d %d %d %f %f %f %f %f %f\n"
+                        % (r[0], r[1], r[2], r[3], r[4], r[5], int(r[6]),
+                           r[7], r[8], r[9], r[10], r[11], r[12]))
+    elif file_format == "numpy":
+        np.save(out_filename, point_bbox)
+    else:
+        raise ValueError(f"Unknown file format: {file_format}")
+    return point_bbox
+
+
+# The axis-aligned unit cube as OBJ geometry: 8 vertex offsets (unit corner
+# weights onto the box extents) and 6 quad faces, 1-based (reference
+# indoor3d_util.py:436-452 literal vertex emit, shared here by both OBJ
+# exporters instead of being duplicated).
+_CUBE_CORNERS = np.array([
+    [0, 0, 1], [0, 1, 1], [1, 1, 1], [1, 0, 1],
+    [0, 0, 0], [0, 1, 0], [1, 1, 0], [1, 0, 0],
+], np.float64)
+_CUBE_FACES = [(4, 3, 2, 1), (1, 2, 6, 5), (7, 6, 2, 3),
+               (4, 8, 7, 3), (5, 8, 4, 1), (5, 6, 7, 8)]
+
+
+def _emit_box(fout_obj, fout_mtl, lo: np.ndarray, hi: np.ndarray,
+              label: int, ins_cnt: int, v_base: int) -> None:
+    material = "material%d" % ins_cnt
+    color = np.asarray(LABEL2COLOR[label], np.float64) / 255.0
+    fout_obj.write("usemtl %s\n" % material)
+    for corner in lo + _CUBE_CORNERS * (hi - lo):
+        fout_obj.write("v %f %f %f\n" % tuple(corner))
+    fout_obj.write("g default\n")
+    for face in _CUBE_FACES:
+        fout_obj.write("f %d %d %d %d\n" % tuple(v + v_base for v in face))
+    fout_obj.write("\n")
+    fout_mtl.write("newmtl %s\nKd %f %f %f\n\n" % (material, *color))
+
+
+def bbox_label_to_obj(input_filename: str, out_filename_prefix: str,
+                      easy_view: bool = False) -> None:
+    """One OBJ+MTL file pair per instance box (reference
+    indoor3d_util.py:393-466)."""
+    bbox_label = np.loadtxt(input_filename)
+    ins_cnt = 0
+    for row in np.atleast_2d(bbox_label):
+        label = int(row[6])
+        if easy_view and label not in EASY_VIEW_LABELS:
+            continue
+        stem = "%s_%s_%d" % (out_filename_prefix, CLASSES[label], ins_cnt)
+        with open(stem + ".obj", "w") as fobj, \
+                open(stem + ".mtl", "w") as fmtl:
+            fobj.write("mtllib %s\n" % os.path.basename(stem + ".mtl"))
+            _emit_box(fobj, fmtl, row[0:3], row[3:6], label, ins_cnt, 0)
+        ins_cnt += 1
+
+
+def bbox_label_to_obj_room(input_filename: str, out_filename_prefix: str,
+                           easy_view: bool = False,
+                           permute: Optional[List[int]] = None,
+                           center: bool = False,
+                           exclude_table: bool = False) -> None:
+    """All of a room's instance boxes in one OBJ+MTL pair, with optional axis
+    permutation and centering to a unit-scale origin box (reference
+    indoor3d_util.py:468-546)."""
+    bbox_label = np.atleast_2d(np.loadtxt(input_filename))
+    bbox = bbox_label[:, 0:6].copy()
+    if permute is not None:
+        assert len(permute) == 3
+        p = np.asarray(permute)
+        bbox = np.concatenate([bbox[:, p], bbox[:, p + 3]], axis=1)
+    if center:
+        half_max = bbox[:, 3:6].max(axis=0) / 2.0
+        bbox[:, 0:3] -= half_max
+        bbox[:, 3:6] -= half_max
+        bbox /= half_max.max()
+    labels = bbox_label[:, -1].astype(int)
+    with open(out_filename_prefix + ".obj", "w") as fobj, \
+            open(out_filename_prefix + ".mtl", "w") as fmtl:
+        fobj.write("mtllib %s\n"
+                   % os.path.basename(out_filename_prefix + ".mtl"))
+        ins_cnt = 0
+        for row, label in zip(bbox, labels):
+            if easy_view and label not in EASY_VIEW_LABELS:
+                continue
+            if exclude_table and label == CLASSES.index("table"):
+                continue
+            _emit_box(fobj, fmtl, row[0:3], row[3:6], label, ins_cnt,
+                      8 * ins_cnt)
+            ins_cnt += 1
+
+
 def point_label_to_obj(input_filename: str, out_filename: str,
                        label_color: bool = True, easy_view: bool = False,
                        no_wall: bool = False) -> None:

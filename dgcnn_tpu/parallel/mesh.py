@@ -34,9 +34,22 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def distributed_init() -> None:
     """Multi-host entry: one process per host, all local chips visible
-    (replaces the reference's env-var rendezvous, main_partseg_dist.py:481-486).
-    No-op on a single host."""
+    (replaces the reference's env-var rendezvous via MASTER_ADDR/RANK,
+    main_partseg_dist.py:481-486).  No-op unless a coordinator address is
+    set.  Rendezvous env vars:
+      JAX_COORDINATOR_ADDRESS (or COORDINATOR_ADDRESS)  host:port
+      JAX_NUM_PROCESSES / JAX_PROCESS_ID                world size / rank
+    (process count/id may be omitted on platforms jax can auto-detect)."""
     import os
 
-    if "JAX_COORDINATOR_ADDRESS" in os.environ or "COORDINATOR_ADDRESS" in os.environ:
-        jax.distributed.initialize()
+    addr = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+            or os.environ.get("COORDINATOR_ADDRESS"))
+    if not addr:
+        return
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    jax.distributed.initialize(
+        coordinator_address=addr,
+        num_processes=int(nproc) if nproc is not None else None,
+        process_id=int(pid) if pid is not None else None,
+    )

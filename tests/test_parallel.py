@@ -1,5 +1,7 @@
 """Multi-device tests on the virtual 8-device CPU mesh (SURVEY.md §4: the
 JAX-native fake backend for sharded code paths)."""
+import os
+
 import numpy as np
 import pytest
 
@@ -64,3 +66,68 @@ def test_graft_dryrun_multichip():
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+_MULTIHOST_WORKER = r"""
+import os, sys
+sys.path.insert(0, os.environ["DGCNN_REPO"])
+import jax
+# axon plugin ignores the JAX_PLATFORMS env var; select CPU via config
+jax.config.update("jax_platforms", "cpu")
+
+from dgcnn_tpu.parallel.mesh import distributed_init, make_mesh, DATA_AXIS
+
+distributed_init()
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 2, jax.device_count()
+
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+rank = jax.process_index()
+mesh = make_mesh()
+sharding = NamedSharding(mesh, P(DATA_AXIS))
+local = np.array([float(rank + 1)], np.float32)
+garr = jax.make_array_from_process_local_data(sharding, local,
+                                              global_shape=(2,))
+total = jax.jit(jnp.sum, out_shardings=NamedSharding(mesh, P()))(garr)
+val = float(np.asarray(total.addressable_shards[0].data))
+assert val == 3.0, val  # cross-process psum: 1 + 2
+print("MULTIHOST_OK", rank, flush=True)
+"""
+
+
+def test_distributed_init_two_process_smoke(tmp_path):
+    """2-process jax.distributed bring-up on localhost: distributed_init
+    forms the rendezvous from env vars (the reference's MASTER_ADDR/RANK
+    equivalent, main_partseg_dist.py:481-486) and a cross-process reduction
+    executes over the global mesh."""
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "worker.py"
+    script.write_text(_MULTIHOST_WORKER)
+    procs = []
+    for rank in range(2):
+        env = dict(os.environ,
+                   DGCNN_REPO=repo,
+                   JAX_COORDINATOR_ADDRESS=f"127.0.0.1:{port}",
+                   JAX_NUM_PROCESSES="2",
+                   JAX_PROCESS_ID=str(rank))
+        env.pop("COORDINATOR_ADDRESS", None)
+        procs.append(subprocess.Popen(
+            [sys.executable, str(script)], env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for rank, p in enumerate(procs):
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+        assert p.returncode == 0, f"rank {rank} failed:\n{out}"
+        assert f"MULTIHOST_OK {rank}" in out
