@@ -51,14 +51,24 @@ KS = {"cls": 20, "partseg": 32, "semseg": 20}
 def _edge_conv_flops(n: int, k: int, c_graph: int, cins: list[int],
                      couts: list[int]) -> float:
     """Per-cloud MXU FLOPs of fused EdgeConv stages: distance-scores matmul
-    (N^2 C), k one-hot selection matmuls (k N^2 Co), and the two weight
-    projections (2 N C Co)."""
+    (N^2 C), k one-hot selection matmuls over the narrower of the projected
+    (Co) / raw (Cin) payload (select-x mode adds k tiny per-selection
+    projections — mirrors ops/pallas_knn._edge_conv1_kernel's lane plan),
+    and the weight projections (2 N C Co)."""
     total = 0.0
     cg = c_graph
     for cin, co in zip(cins, couts):
+        pa = -(-(co + (1 if co % 128 else 0)) // 128)
+        pb = -(-(cin + (1 if cin % 128 else 0)) // 128)
+        select_x = pb < pa or (pb == pa and cin % 128 and not co % 128)
         total += 2.0 * n * n * cg          # scores (graph feature dim cg)
-        total += 2.0 * k * n * n * co      # selection matmuls
-        total += 2.0 * 2.0 * n * cin * co  # w_nbr / w_ctr projections
+        if select_x:
+            total += 2.0 * k * n * n * cin   # selection matmuls (raw feats)
+            total += 2.0 * k * n * cin * co  # per-selection projections
+            total += 2.0 * n * cin * co      # w_ctr projection
+        else:
+            total += 2.0 * k * n * n * co      # selection matmuls
+            total += 2.0 * 2.0 * n * cin * co  # w_nbr / w_ctr projections
         cg = co
     return total
 
@@ -120,9 +130,15 @@ def run_config(model_key: str) -> dict:
     else:
         from dgcnn_tpu.models import DGCNNSemSeg
 
+        # Honest semseg input: S3DIS blocks are sampled with replacement, so
+        # ~1/4 of rows are duplicates; pin the exact extraction the semseg
+        # CLI defaults to for such data (cli/semseg.py).
+        os.environ["DGCNN_TPU_EXTRACT"] = "v1"
         model = DGCNNSemSeg(emb_dims=1024, k=k)
-        points = jnp.asarray(
-            rng.rand(BATCH, num_points, 9).astype(np.float32))
+        pts = rng.rand(BATCH, num_points, 9).astype(np.float32)
+        dup = num_points // 4
+        pts[:, num_points - dup:] = pts[:, :dup]
+        points = jnp.asarray(pts)
         args = (points,)
         name = "DGCNN-semseg"
 

@@ -7,6 +7,14 @@ from __future__ import annotations
 import argparse
 import os
 
+# S3DIS blocks are sampled with replacement (ETL prepare/indoor3d.py, like
+# reference indoor3d_util.py:176), so clouds carry duplicated points: pin
+# the exact member-by-member extraction (v1) so neighbourhoods keep the
+# reference's duplicate-filled top-k semantics instead of v3's class-walk
+# (ops/pallas_knn._extract_loop_v3 docstring).  Read at trace time; users
+# can still override via the environment.
+os.environ.setdefault("DGCNN_TPU_EXTRACT", "v1")
+
 import numpy as np
 
 import jax

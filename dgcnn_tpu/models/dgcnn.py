@@ -24,7 +24,7 @@ from dgcnn_tpu.models.nn_layers import (
     EdgeConv,
     leaky_relu,
 )
-from dgcnn_tpu.ops.knn import knn
+from dgcnn_tpu.ops.knn import knn, use_pallas
 
 
 def _edge_block2(ec, cb, x, graph, k, train, slope=0.2, eps=1e-5):
@@ -173,11 +173,32 @@ class DGCNNCls(nn.Module):
         x2 = EdgeConv(64, axis_name=ax, name="conv2")(x1, train=train, graph=x1, k=kk)
         x3 = EdgeConv(128, axis_name=ax, name="conv3")(x2, train=train, graph=x2, k=kk)
         x4 = EdgeConv(256, axis_name=ax, name="conv4")(x3, train=train, graph=x3, k=kk)
-        cat = jnp.concatenate([x1, x2, x3, x4], axis=-1)
-        h = ConvBN(self.emb_dims, axis_name=ax, name="conv5")(cat, train)
-        pooled = jnp.concatenate(
-            [jnp.max(h, axis=1), jnp.mean(h, axis=1)], axis=-1
-        )  # (B, 2*emb)
+        cb5 = ConvBN(self.emb_dims, axis_name=ax, name="conv5")
+        if not train and use_pallas(x.shape[1]):
+            # fused conv5 + folded BN + LeakyReLU + global max/mean pool:
+            # neither the stage concat nor the (B, N, emb) activation ever
+            # round-trips HBM (the kernel consumes the stage outputs
+            # directly against row slices of the conv5 weight)
+            import os as _os
+
+            from dgcnn_tpu.ops.edge_conv import fold_bn
+            from dgcnn_tpu.ops.pallas_pool import fused_conv_pool
+
+            width = x1.shape[-1] + x2.shape[-1] + x3.shape[-1] + x4.shape[-1]
+            k5, g5, be5, m5, v5 = cb5(
+                jnp.zeros((1, 1, width), jnp.float32), return_params=True)
+            s5, t5 = fold_bn(g5, be5, m5, v5, 1e-5)
+            cdt = (jnp.float32 if _os.environ.get("DGCNN_TPU_PALLAS_EXACT")
+                   else jnp.bfloat16)
+            pm = fused_conv_pool((x1, x2, x3, x4), k5, s5, t5, 0.2,
+                                 compute_dtype=cdt)
+            pooled = jnp.concatenate([pm[:, 0], pm[:, 1]], axis=-1)
+        else:
+            cat = jnp.concatenate([x1, x2, x3, x4], axis=-1)
+            h = cb5(cat, train)
+            pooled = jnp.concatenate(
+                [jnp.max(h, axis=1), jnp.mean(h, axis=1)], axis=-1
+            )  # (B, 2*emb)
         h = DenseBNReLU(512, axis_name=ax, name="linear1")(pooled, train)
         h = nn.Dropout(self.dropout, deterministic=not train, name="dp1")(h)
         h = nn.Dense(256, name="linear2")(h)

@@ -41,11 +41,10 @@ def _pick_tile(n: int) -> int:
     return TILE_N
 
 
-def _extract_loop(scores, k, n, payload_fn, onehot_dtype=jnp.float32):
-    """Shared iterative top-k extraction (unrolled: measured 2x faster than a
-    fori_loop body, and the masked-rewrite form beats maskless/lexicographic
-    and chunked reformulations — Mosaic already fuses the mask-out into the
-    next max-reduce, leaving ~2 block traversals per iteration, VPU-bound).
+def _extract_loop_v1(scores, k, n, payload_fn, onehot_dtype=jnp.float32):
+    """Masked-rewrite iterative top-k extraction (unrolled: measured 2x faster
+    than a fori_loop body).  Mosaic fuses the mask-out into the next
+    max-reduce, leaving ~4 block traversals per iteration, VPU-bound.
 
     scores: (TILE_N, N) f32.  payload_fn(onehot, t) consumes the one-hot
     selection of iteration t, cast directly to ``onehot_dtype`` (casting to
@@ -65,6 +64,112 @@ def _extract_loop(scores, k, n, payload_fn, onehot_dtype=jnp.float32):
         if t + 1 < k:
             scores = jnp.where(sel_mask, -jnp.inf, scores)
     return jnp.concatenate(idx_cols, axis=1).astype(jnp.int32)
+
+
+def _extract_loop_v3(scores, k, n, a_parts, state, consume_fn, onehot_dtype):
+    """Single-reduction "class-walk" selection — the fast eval default.
+
+    Per iteration: one masked max-reduce (the next strictly-smaller score
+    value) and one selection matmul of the candidate mask, with a ones lane
+    appended into the payload operand's lane padding so the per-row
+    candidate count accumulates in the same MXU pass.  That is the entire
+    VPU cost — ~0.55 ms/call cheaper than v1 at every DGCNNCls stage shape
+    whose payload width leaves lane padding (tools/ubench_stage.py).
+
+    Semantics: rows whose top-k scores are all distinct (every row, for
+    clouds without f32 distance collisions) take cnt==1 every iteration, and
+    ``sel / 1.0`` is an IEEE no-op — bit-identical to v1.  A row where c > 1
+    candidates tie walks the tied *class* in one iteration, consuming the
+    average of the tied members' features (bounded — a convex combination,
+    exact when the tie comes from duplicated points) and then continues to
+    the next-smaller class, so its effective neighbourhood is its top-k
+    score *classes*.  Use v1 (DGCNN_TPU_EXTRACT=v1, or any kernel that
+    outputs indices) for bit-exact torch.topk member-by-member order —
+    duplicate-heavy data (S3DIS blocks) is pinned to v1 by cli/semseg.py.
+
+    Tried and rejected alternatives for exact-at-this-cost (r2): per-
+    iteration ``lax.cond`` tie repair pays both branches in Mosaic (v4);
+    per-iteration ``pl.when`` scratch rewrites serialize (v6); a whole-loop
+    ``pl.when`` repair region costs ~60% even when EMPTY and never taken
+    (v7) — predicated regions are not free on this hardware.  f32 score
+    collisions between distinct points are inherent at deeper stages
+    (scalar birthday collisions at 2^-24), so per-call XLA-level repair
+    would always trigger at batch scale.
+    """
+    ones = jnp.ones((n, 1), jnp.float32)
+    m = jnp.max(scores, axis=1, keepdims=True)
+    for t in range(k):
+        cand = (scores == m).astype(onehot_dtype)
+        sel, aux = _sel_dot(cand, a_parts, ones)
+        cnt = jnp.maximum(aux[:, 0:1], 1.0)
+        state = consume_fn(state, sel / cnt, t)
+        if t + 1 < k:
+            m = jnp.max(jnp.where(scores < m, scores, -jnp.inf),
+                        axis=1, keepdims=True)
+    return state
+
+
+def _sel_dot(mask, parts, aux=None):
+    """Selection matmul of a 0/1 mask against split operand ``parts`` (see
+    _onehot_dot); when ``aux`` (N, A) is given it is appended to the first
+    part's lanes so its columns (e.g. a ones lane -> per-row count)
+    accumulate in the same MXU pass — free whenever Co + A stays within the
+    payload's 128-lane padding.  Returns (sel (TILE, Co) f32,
+    auxout (TILE, A) f32 | None)."""
+    dims = (((1,), (0,)), ((), ()))
+    if not parts:
+        out = jax.lax.dot_general(mask, aux.astype(mask.dtype),
+                                  dimension_numbers=dims,
+                                  preferred_element_type=jnp.float32)
+        return None, out
+    first = parts[0]
+    if aux is not None:
+        first = jnp.concatenate([first, aux.astype(first.dtype)], axis=1)
+    out = jax.lax.dot_general(mask, first, dimension_numbers=dims,
+                              preferred_element_type=jnp.float32)
+    co = parts[0].shape[1]
+    sel, auxout = (out[:, :co], out[:, co:]) if aux is not None else (out, None)
+    for p in parts[1:]:
+        sel = sel + jax.lax.dot_general(mask, p, dimension_numbers=dims,
+                                        preferred_element_type=jnp.float32)
+    return sel, auxout
+
+
+def _extract_version(default: str, allow: tuple[str, ...]) -> str:
+    """Extraction-loop variant for one kernel: the DGCNN_TPU_EXTRACT
+    environment override (read at TRACE time — set before the first forward)
+    when it is in ``allow`` for this kernel, else ``default``.  Kernels that
+    output neighbour indices only allow v1 (v3 walks tied classes and has no
+    per-member index stream)."""
+    import os
+
+    env = os.environ.get("DGCNN_TPU_EXTRACT")
+    return env if env in allow else default
+
+
+def _run_select(scores, k, n, a_parts, init_state, consume_fn, finalize_fn,
+                onehot_dtype, variant="v1"):
+    """Selection engine: extracts the k nearest columns of each score row,
+    folds the payload's selected features ``sel = onehot @ sum(a_parts)``
+    through ``state = consume_fn(state, sel, t)`` and hands the final state
+    to ``finalize_fn(state, idx)``.  variant v1 = exact torch.topk order
+    (idx (TILE, k) int32); v3 = fast class-walk (idx is None — only valid
+    for kernels that do not output indices)."""
+    if variant == "v3":
+        st = _extract_loop_v3(scores, k, n, a_parts, init_state, consume_fn,
+                              onehot_dtype)
+        finalize_fn(st, None)
+        return
+
+    box = {"s": init_state}
+
+    def payload(onehot, t):
+        if a_parts:
+            sel, _ = _sel_dot(onehot, a_parts)
+            box["s"] = consume_fn(box["s"], sel, t)
+
+    idx = _extract_loop_v1(scores, k, n, payload, onehot_dtype)
+    finalize_fn(box["s"], idx)
 
 
 def _scores(xq, xall):
@@ -116,28 +221,29 @@ def _knn_reduce_kernel(k, select_dtype, with_sumsq, q_ref, x_ref, a_ref,
     a_parts = (_split3(a_ref[0]) if select_dtype == jnp.float32
                else (a_ref[0].astype(jnp.bfloat16),))
 
-    sel_state = {
-        "amax": jnp.full((tile, co), -jnp.inf, jnp.float32),
-        "amin": jnp.full((tile, co), jnp.inf, jnp.float32),
-        "asum": jnp.zeros((tile, co), jnp.float32),
-        "asumsq": jnp.zeros((tile, co), jnp.float32),
-    }
+    init = (
+        jnp.full((tile, co), -jnp.inf, jnp.float32),
+        jnp.full((tile, co), jnp.inf, jnp.float32),
+        jnp.zeros((tile, co), jnp.float32),
+        jnp.zeros((tile, co), jnp.float32),
+    )
 
-    def payload(onehot, t):
-        sel = _onehot_dot(onehot, a_parts)
-        sel_state["amax"] = jnp.maximum(sel_state["amax"], sel)
-        sel_state["amin"] = jnp.minimum(sel_state["amin"], sel)
-        sel_state["asum"] = sel_state["asum"] + sel
+    def consume(st, sel, t):
+        amax, amin, asum, asq = st
+        return (jnp.maximum(amax, sel), jnp.minimum(amin, sel), asum + sel,
+                asq + jnp.square(sel) if with_sumsq else asq)
+
+    def finalize(st, idx):
+        amax, amin, asum, asq = st
+        idx_ref[0] = idx
+        amax_ref[0] = amax
+        amin_ref[0] = amin
+        asum_ref[0] = asum
         if with_sumsq:
-            sel_state["asumsq"] = sel_state["asumsq"] + jnp.square(sel)
+            maybe_sq_ref[0][0] = asq
 
-    idx = _extract_loop(scores, k, n, payload, onehot_dtype=jnp.bfloat16)
-    idx_ref[0] = idx
-    amax_ref[0] = sel_state["amax"]
-    amin_ref[0] = sel_state["amin"]
-    asum_ref[0] = sel_state["asum"]
-    if with_sumsq:
-        maybe_sq_ref[0][0] = sel_state["asumsq"]
+    _run_select(scores, k, n, a_parts, init, consume, finalize,
+                onehot_dtype=jnp.bfloat16)
 
 
 def _train_exact() -> bool:
@@ -397,16 +503,47 @@ def _edge_conv1_kernel(k, slope, select_dtype, q_ref, x_ref, xf_ref, xq_ref,
     """Whole single-conv EdgeConv stage in one program (eval): projections,
     kNN selection, max/min reduction, folded-BN affine + LeakyReLU epilogue.
     Inputs are the raw graph/features — the (B,N,Co) projections, the idx and
-    the per-reduction tensors never touch HBM."""
+    the per-reduction tensors never touch HBM.
+
+    Two selection modes, chosen per shape (measured, tools/ubench_stage.py):
+
+    * project-first — select the projected features ``a = xf @ w_nbr`` (Co
+      lanes).  Best when Co (+ v3's count lane) fits one 128-lane pass.
+    * select-x — select the RAW input features (Cin lanes) and project each
+      selected row afterwards with a tiny (TILE, Cin) x (Cin, Co) matmul.
+      Mathematically identical (row selection commutes with a linear map);
+      the big (TILE, N) x (N, ·) selection matmul shrinks from Co to Cin
+      lanes, but every per-iteration extra op costs ~0.18 us fixed
+      (~0.45 ms/call at k=20), so this only pays when it removes a whole
+      128-lane selection pass or unlocks the v3 loop: DGCNNCls stage 3
+      (64->128: v1 3.40 -> v3 3.13 ms) and stage 4 (128->256: two-pass v1
+      4.64 -> one-pass 3.59 ms)."""
     n = x_ref.shape[1]
+    cin = xf_ref.shape[2]
     co = wn_ref.shape[1]
     tile = q_ref.shape[1]
+
+    def _lane_plan(width):
+        v = "v3" if width % 128 else "v1"
+        return v, -(-(width + (v == "v3")) // 128)
+
+    va, pa = _lane_plan(co)
+    vb, pb = _lane_plan(cin)
+    select_x = pb < pa or (pb == pa and vb == "v3" and va == "v1")
+
     scores = _scores(q_ref[0], x_ref[0])
-    a = jax.lax.dot_general(
-        xf_ref[0], wn_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(select_dtype)
+    wn = wn_ref[:]
+    if select_x:
+        payload = xf_ref[0].astype(select_dtype)
+        variant = vb
+    else:
+        payload = jax.lax.dot_general(
+            xf_ref[0], wn,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(select_dtype)
+        variant = va
+    variant = _extract_version(variant, ("v1", "v3"))
     b = jax.lax.dot_general(
         xq_ref[0], wc_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -415,25 +552,26 @@ def _edge_conv1_kernel(k, slope, select_dtype, q_ref, x_ref, xf_ref, xq_ref,
     s = aff_ref[0:1, :]
     t = aff_ref[1:2, :]
 
-    acc = {
-        "amax": jnp.full((tile, co), -jnp.inf, jnp.float32),
-        "amin": jnp.full((tile, co), jnp.inf, jnp.float32),
-    }
+    init = (jnp.full((tile, co), -jnp.inf, jnp.float32),
+            jnp.full((tile, co), jnp.inf, jnp.float32))
 
-    def payload(onehot, _):
-        sel = jax.lax.dot_general(
-            onehot, a,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc["amax"] = jnp.maximum(acc["amax"], sel)
-        acc["amin"] = jnp.minimum(acc["amin"], sel)
+    def consume(st, sel, _):
+        if select_x:
+            sel = jax.lax.dot_general(
+                sel, wn,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        return jnp.maximum(st[0], sel), jnp.minimum(st[1], sel)
 
-    _extract_loop(scores, k, n, payload, onehot_dtype=select_dtype)
-    # max over k of s*(a_j + b) + t == s*(s>0 ? max_j a : min_j a + b) + t
-    sel = jnp.where(s > 0, acc["amax"], acc["amin"]) + b
-    y = sel * s + t
-    out_ref[0] = jnp.where(y >= 0, y, slope * y)
+    def finalize(st, idx):
+        # max over k of s*(a_j + b) + t == s*(s>0 ? max_j a : min_j a + b) + t
+        sel = jnp.where(s > 0, st[0], st[1]) + b
+        y = sel * s + t
+        out_ref[0] = jnp.where(y >= 0, y, slope * y)
+
+    _run_select(scores, k, n, (payload,), init, consume, finalize,
+                onehot_dtype=select_dtype, variant=variant)
 
 
 @functools.partial(
@@ -520,14 +658,9 @@ def _knn_edge2_kernel(k, slope, q_ref, x_ref, a1_ref, b1_ref, w2_ref,
     s2 = aff_ref[2:3, :c2]
     t2 = aff_ref[3:4, :c2]
 
-    acc = {"out": jnp.full((tile, c2), -jnp.inf, jnp.float32)}
+    init = jnp.full((tile, c2), -jnp.inf, jnp.float32)
 
-    def payload(onehot, t):
-        sel = jax.lax.dot_general(
-            onehot, a1,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+    def consume(st, sel, t):
         z1 = (sel + b1) * s1 + t1
         h1 = jnp.where(z1 >= 0, z1, slope * z1)
         z2 = jax.lax.dot_general(
@@ -536,10 +669,15 @@ def _knn_edge2_kernel(k, slope, q_ref, x_ref, a1_ref, b1_ref, w2_ref,
             preferred_element_type=jnp.float32,
         ) * s2 + t2
         h2 = jnp.where(z2 >= 0, z2, slope * z2)
-        acc["out"] = jnp.maximum(acc["out"], h2)
+        return jnp.maximum(st, h2)
 
-    _extract_loop(scores, k, n, payload)
-    out_ref[0] = acc["out"]
+    def finalize(st, idx):
+        out_ref[0] = st
+
+    c1 = a1.shape[1]
+    variant = _extract_version("v3" if c1 % 128 else "v1", ("v1", "v3"))
+    _run_select(scores, k, n, (a1,), init, consume, finalize,
+                onehot_dtype=jnp.float32, variant=variant)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "slope", "interpret"))
@@ -892,7 +1030,9 @@ _edge2_reduce.defvjp(_edge2_fwd, _edge2_bwd)
 def _knn_only_kernel(k, q_ref, x_ref, idx_ref):
     n = x_ref.shape[1]
     scores = _scores(q_ref[0], x_ref[0])
-    idx_ref[0] = _extract_loop(scores, k, n, lambda onehot, t: None)
+    _run_select(scores, k, n, (), None, None,
+                lambda st, idx: idx_ref.__setitem__(0, idx),
+                onehot_dtype=jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))

@@ -89,3 +89,85 @@ def test_pallas_backward_matches_xla_with_ties():
                             cts[4], k, interpret=True)
     np.testing.assert_allclose(np.asarray(da_pl), np.asarray(da_xla),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_tie_parity_exact_v1():
+    """The exact (v1) extraction on tie-heavy clouds (every point duplicated
+    4x -> distance ties in every row) matches lax.top_k's lowest-index tie
+    order.  Index-emitting kernels always run v1 regardless of
+    DGCNN_TPU_EXTRACT (v3 has no per-member index stream)."""
+    rng = np.random.RandomState(5)
+    xn = rng.randn(1, 128, 4).astype(np.float32)
+    xn[0, 32:64] = xn[0, 0:32]
+    xn[0, 64:96] = xn[0, 0:32]
+    xn[0, 96:128] = xn[0, 0:32]
+    x = jnp.asarray(xn)
+    a = jnp.asarray(rng.randn(1, 128, 8).astype(np.float32))
+    k = 5
+    idx, amax, amin, asum = fused_knn_reduce(
+        x, a, k, select_dtype=jnp.float32, interpret=True)
+    ref_idx = np.asarray(_xla_knn(x, k))
+    np.testing.assert_array_equal(np.asarray(idx), ref_idx)
+    ag = np.asarray(gather_neighbors(a, jnp.asarray(ref_idx)))
+    np.testing.assert_allclose(np.asarray(amax), ag.max(2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(amin), ag.min(2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(asum), ag.sum(2), atol=1e-5)
+
+
+def _eval_stage_ref(x, w_nbr, w_ctr, scale, bias, k, slope=0.2):
+    """XLA reference of one eval EdgeConv stage (gather formulation)."""
+    idx = _xla_knn(x, k)
+    a = jnp.einsum("bnc,cd->bnd", x, w_nbr)
+    b = jnp.einsum("bnc,cd->bnd", x, w_ctr)
+    ag = gather_neighbors(a, idx)  # (B, N, k, Co)
+    z = (ag + b[:, :, None, :]) * scale + bias
+    return jnp.max(jnp.where(z >= 0, z, slope * z), axis=2)
+
+
+@pytest.mark.parametrize("variant", ["v1", "v3"])
+def test_eval_stage_variants_match_xla_tie_free(variant, monkeypatch):
+    """Tie-free clouds: v3 (fast class-walk) == v1 == XLA gather reference
+    for the fused eval stage (v3's cnt==1 divide is an IEEE no-op)."""
+    from dgcnn_tpu.ops.pallas_knn import fused_edge_conv_eval
+
+    monkeypatch.setenv("DGCNN_TPU_EXTRACT", variant)
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(2, 256, 16).astype(np.float32))
+    wn = jnp.asarray(rng.randn(16, 24).astype(np.float32))
+    wc = jnp.asarray(rng.randn(16, 24).astype(np.float32))
+    sc = jnp.asarray((rng.rand(24) + 0.5).astype(np.float32))
+    bi = jnp.asarray(rng.randn(24).astype(np.float32))
+    # __wrapped__: bypass the jit cache (the variant is read at trace time)
+    got = fused_edge_conv_eval.__wrapped__(
+        x, x, wn, wc, sc, bi, 7, select_dtype=jnp.float32, interpret=True)
+    ref = _eval_stage_ref(x, wn, wc, sc, bi, 7)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_eval_stage_v3_duplicate_points_exact(monkeypatch):
+    """Duplicated points under v3: tied members share features, so the
+    class-average equals the member value and the class-walk output matches
+    the XLA reference computed over the top-k *distinct* neighbours — the
+    documented v3 neighbourhood semantics."""
+    from dgcnn_tpu.ops.pallas_knn import fused_edge_conv_eval
+
+    monkeypatch.setenv("DGCNN_TPU_EXTRACT", "v3")
+    rng = np.random.RandomState(7)
+    xn = rng.randn(1, 128, 8).astype(np.float32)
+    xn[0, 64:] = xn[0, :64]  # every point duplicated once
+    x = jnp.asarray(xn)
+    wn = jnp.asarray(rng.randn(8, 12).astype(np.float32))
+    wc = jnp.asarray(rng.randn(8, 12).astype(np.float32))
+    sc = jnp.asarray((rng.rand(12) + 0.5).astype(np.float32))
+    bi = jnp.asarray(rng.randn(12).astype(np.float32))
+    k = 5
+    got = fused_edge_conv_eval.__wrapped__(
+        x, x, wn, wc, sc, bi, k, select_dtype=jnp.float32, interpret=True)
+    # reference over the deduplicated cloud: top-k classes == top-k distinct
+    # neighbours (each duplicated pair is one class with identical features)
+    ref = _eval_stage_ref(x[:, :64], wn, wc, sc, bi, k)
+    np.testing.assert_allclose(np.asarray(got[:, :64]), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got[:, 64:]), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)

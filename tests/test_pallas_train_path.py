@@ -93,9 +93,29 @@ def test_fused_eval_matches_xla(force_pallas):
     # bf16 feature rounding can flip near-tie neighbours in the *next*
     # layer's dynamic graph, so a small fraction of elements legitimately
     # diverges — require structural agreement, not elementwise equality
+    # (threshold 0.98: select-then-project rounds the raw features to bf16
+    # before the in-kernel projection, AMP-style, slightly widening this)
     a_, b_ = np.asarray(out_b).ravel(), np.asarray(out_x).ravel()
-    assert (np.abs(a_ - b_) < 0.05).mean() > 0.99
+    assert (np.abs(a_ - b_) < 0.05).mean() > 0.98
     assert np.corrcoef(a_, b_)[0, 1] > 0.999
+
+
+def test_cls_fused_conv_pool_matches_xla(force_pallas):
+    """DGCNNCls eval with the fused conv5+BN+LReLU+global-pool kernel
+    (ops/pallas_pool.py) equals the XLA composition under exact settings."""
+    from dgcnn_tpu.models import DGCNNCls
+
+    model = DGCNNCls(emb_dims=32, k=5, output_channels=7)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    with jax.default_matmul_precision("float32"):
+        out_p = model.apply(variables, x, train=False)
+        os.environ["DGCNN_TPU_PALLAS"] = "0"
+        out_x = model.apply(variables, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_x), rtol=2e-4, atol=2e-5
+    )
 
 
 def test_fused_edge2_block_matches_xla(force_pallas):
