@@ -150,9 +150,20 @@ def test(args, io: IOStream):
         args.test_area]
     devices = pick_devices(args.no_cuda)
     model = build_model(args)
-    _, eval_step = make_seg_steps(model, with_label=False)
-    eval_call = build_data_parallel_call(eval_step, devices,
-                                         args.test_batch_size, n_sharded=3)
+    if getattr(args, "point_shard", False):
+        # sequence parallelism: shard the point axis across the mesh
+        # (N past single-chip HBM) instead of the batch axis
+        from dgcnn_tpu.parallel import make_mesh
+        from dgcnn_tpu.parallel.point_sharded import point_sharded_seg_eval
+
+        assert args.num_points % len(devices) == 0, (
+            f"--point_shard needs num_points ({args.num_points}) divisible "
+            f"by the device count ({len(devices)})")
+        eval_call = point_sharded_seg_eval(model, make_mesh(devices))
+    else:
+        _, eval_step = make_seg_steps(model, with_label=False)
+        eval_call = build_data_parallel_call(eval_step, devices,
+                                             args.test_batch_size, n_sharded=3)
     for area in areas:
         if args.test_area == "all" or area == args.test_area:
             test_ds = S3DIS(args.num_points, "test", area, seed=args.seed)
@@ -262,6 +273,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--model_root", type=str, default="", metavar="N")
     parser.add_argument("--visu", type=str, default="")
     parser.add_argument("--visu_format", type=str, default="ply")
+    parser.add_argument("--point_shard", type=str2bool, default=False,
+                        help="eval with the POINT axis sharded across all "
+                             "devices (sequence parallelism; num_points "
+                             "must divide by the device count; uses the "
+                             "XLA compute path — the fused Pallas kernels "
+                             "are shard-local)")
     add_runtime_flags(parser)
     return parser
 

@@ -25,6 +25,7 @@ from dgcnn_tpu.models.nn_layers import (
     leaky_relu,
 )
 from dgcnn_tpu.ops.knn import knn, use_pallas
+from dgcnn_tpu.ops.pool import global_max, global_mean
 
 
 def _edge_block2(ec, cb, x, graph, k, train, slope=0.2, eps=1e-5):
@@ -81,6 +82,31 @@ def _edge_block2(ec, cb, x, graph, k, train, slope=0.2, eps=1e-5):
     return jnp.max(h, axis=2)
 
 
+def _embed_max_pool(cb, cat, train, keepdims=False, slope=0.2):
+    """Embedding conv -> BN -> LeakyReLU -> global max over N (the
+    partseg/semseg ``conv6`` + pool, reference model.py DGCNN_partseg /
+    DGCNN_semseg).  Eval on TPU fuses the whole pipeline in one kernel
+    (ops/pallas_pool.py) — the (B, N, emb) activation feeds only the pool
+    and never round-trips HBM."""
+    if (not train) and use_pallas(cat.shape[1]):
+        import os as _os
+
+        from dgcnn_tpu.ops.edge_conv import fold_bn
+        from dgcnn_tpu.ops.pallas_pool import fused_conv_pool
+
+        kc, gc, bec, mc, vc = cb(
+            jnp.zeros((1, 1, cat.shape[-1]), jnp.float32),
+            return_params=True)
+        sc, tc = fold_bn(gc, bec, mc, vc, 1e-5)
+        cdt = (jnp.float32 if _os.environ.get("DGCNN_TPU_PALLAS_EXACT")
+               else jnp.bfloat16)
+        pm = fused_conv_pool((cat,), kc, sc, tc, slope, compute_dtype=cdt,
+                             with_mean=False)
+        return pm if keepdims else pm[:, 0]
+    g = cb(cat, train)
+    return global_max(g, keepdims=keepdims)
+
+
 class DGCNN(nn.Module):
     """The fork's backbone: EdgeConv 6->64->64->128->256, concat -> conv5 to
     ``emb_dims`` per point (reference models/dgcnn.py:47-103).
@@ -122,7 +148,7 @@ class TransformNet(nn.Module):
         t = ConvBN(128, axis_name=ax, name="conv2")(t, train)
         t = jnp.max(t, axis=2)                      # max over k -> (B, N, 128)
         t = ConvBN(1024, axis_name=ax, name="conv3")(t, train)
-        t = jnp.max(t, axis=1)                      # max over N -> (B, 1024)
+        t = global_max(t)                           # max over N -> (B, 1024)
         t = DenseBNReLU(512, axis_name=ax, name="linear1")(t, train)
         t = DenseBNReLU(256, axis_name=ax, name="linear2")(t, train)
         t = nn.Dense(
@@ -197,7 +223,7 @@ class DGCNNCls(nn.Module):
             cat = jnp.concatenate([x1, x2, x3, x4], axis=-1)
             h = cb5(cat, train)
             pooled = jnp.concatenate(
-                [jnp.max(h, axis=1), jnp.mean(h, axis=1)], axis=-1
+                [global_max(h), global_mean(h)], axis=-1
             )  # (B, 2*emb)
         h = DenseBNReLU(512, axis_name=ax, name="linear1")(pooled, train)
         h = nn.Dropout(self.dropout, deterministic=not train, name="dp1")(h)
@@ -225,7 +251,7 @@ class PointNet(nn.Module):
             x = nn.Dense(feat, use_bias=False, name=f"conv{i}")(x)
             x = BatchNorm(axis_name=ax, name=f"bn{i}")(x, train)
             x = nn.relu(x)
-        x = jnp.max(x, axis=1)                      # adaptive max pool over N
+        x = global_max(x)                           # adaptive max pool over N
         x = nn.Dense(512, use_bias=False, name="linear1")(x)
         x = BatchNorm(axis_name=ax, name="bn6")(x, train)
         x = nn.relu(x)
@@ -272,8 +298,9 @@ class DGCNNPartSeg(nn.Module):
                                                       graph=x2, k=self.k)
 
         cat = jnp.concatenate([x1, x2, x3], axis=-1)          # (B, N, 192)
-        g = ConvBN(self.emb_dims, axis_name=ax, name="conv6")(cat, train)
-        g = jnp.max(g, axis=1)                                # (B, emb)
+        g = _embed_max_pool(
+            ConvBN(self.emb_dims, axis_name=ax, name="conv6"),
+            cat, train)                                       # (B, emb)
 
         lbl = ConvBN(64, axis_name=ax, name="conv7")(
             label_one_hot[:, None, :], train
@@ -323,8 +350,9 @@ class DGCNNSemSeg(nn.Module):
                                                       graph=x2, k=self.k)
 
         cat = jnp.concatenate([x1, x2, x3], axis=-1)          # (B, N, 192)
-        g = ConvBN(self.emb_dims, axis_name=ax, name="conv6")(cat, train)
-        g = jnp.max(g, axis=1, keepdims=True)                 # (B, 1, emb)
+        g = _embed_max_pool(
+            ConvBN(self.emb_dims, axis_name=ax, name="conv6"),
+            cat, train, keepdims=True)                        # (B, 1, emb)
         g = jnp.broadcast_to(g, (b, n, g.shape[-1]))
 
         h = jnp.concatenate([g, cat], axis=-1)                # (B, N, emb+192)

@@ -24,11 +24,20 @@ def gather_neighbors(feat: jax.Array, idx: jax.Array) -> jax.Array:
     """Gather per-point neighbour features.
 
     Args:
-      feat: (B, N, C).
-      idx:  (B, M, k) int indices into the N axis.
+      feat: (B, N, C) — the local shard under point sharding.
+      idx:  (B, M, k) int indices into the (global) N axis.
     Returns:
       (B, M, k, C).
+
+    Under ``ops.pool.point_sharding`` the features are all-gathered over
+    the point axis first (one ICI pass), then indexed locally with the
+    global indices ``ops.knn.knn`` produced.
     """
+    from dgcnn_tpu.ops.pool import point_shard_axis
+
+    axis = point_shard_axis()
+    if axis is not None:
+        feat = jax.lax.all_gather(feat, axis, axis=1, tiled=True)
     return jax.vmap(lambda f, i: f[i])(feat, idx)
 
 

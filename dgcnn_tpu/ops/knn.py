@@ -44,9 +44,14 @@ def pairwise_neg_sqdist(x: jax.Array, y: jax.Array | None = None) -> jax.Array:
 
 def use_pallas(n: int) -> bool:
     """Whether the fused Pallas kernels should serve this shape: TPU backend,
-    tile-aligned N, not explicitly disabled (DGCNN_TPU_PALLAS=0)."""
+    tile-aligned N, not explicitly disabled (DGCNN_TPU_PALLAS=0), not inside
+    a point-sharding context (kernels see only the local shard)."""
     import os
 
+    from dgcnn_tpu.ops.pool import point_shard_axis
+
+    if point_shard_axis() is not None:
+        return False
     mode = os.environ.get("DGCNN_TPU_PALLAS", "auto")
     if mode == "0":
         return False
@@ -60,21 +65,37 @@ def use_pallas(n: int) -> bool:
         return False
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
 def knn(x: jax.Array, k: int) -> jax.Array:
     """Indices of the k nearest neighbours of every point (self included).
 
     Args:
-      x: (B, N, C) point features.
-      k: number of neighbours.
+      x: (B, N, C) point features — the local shard under point sharding.
     Returns:
-      (B, N, k) int32 neighbour indices, nearest (self) first.  Ties broken by
-      lowest index, matching torch.topk on the reference path.
+      (B, N, k) int32 neighbour indices, nearest (self) first.  Ties broken
+      by lowest index, matching torch.topk on the reference path.  Under
+      ``ops.pool.point_sharding`` the indices are GLOBAL (the coordinates
+      are all-gathered over the point axis; axis order is preserved).
 
     On TPU with tile-aligned N this dispatches to the fused Pallas extraction
     (ops/pallas_knn.py) — ~6x faster than lax.top_k's sort; neighbour sets are
     identical (fp tie order may swap, which every consumer is invariant to).
     """
+    from dgcnn_tpu.ops.pool import point_shard_axis
+
+    axis = point_shard_axis()
+    if axis is not None:
+        # local query rows x all-gathered columns; shard_map axis context —
+        # must not be cached under the unsharded jit key
+        x = jax.lax.stop_gradient(x)
+        x_all = jax.lax.all_gather(x, axis, axis=1, tiled=True)
+        scores = pairwise_neg_sqdist(x, x_all)
+        _, idx = jax.lax.top_k(scores, k)
+        return idx.astype(jnp.int32)
+    return _knn_single(x, k)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def _knn_single(x: jax.Array, k: int) -> jax.Array:
     # neighbour indices carry no gradient (torch.topk semantics); the stop
     # also keeps autodiff from trying to linearize through the Pallas call
     x = jax.lax.stop_gradient(x)

@@ -11,11 +11,13 @@ it selects each neighbour's projected features with a one-hot (TILE_N, N) x
 fly.  The (B, N, k, C) edge tensor never exists anywhere, and the only HBM
 traffic is x, a in and (idx, reductions) out.
 
-Numerics: scores are computed in f32 (full-precision MXU) so neighbour sets
-match the XLA/torch reference exactly (ties broken by lowest index, like
-torch.topk).  The selection matmuls run in the requested ``select_dtype``
-(bf16 by default on TPU — exact for the 0/1 one-hot operand, feature values
-rounded to bf16; use f32 for bit-level parity).
+Numerics: index-emitting kernels (knn_only, knn_reduce) compute scores at
+HIGHEST (f32-exact) and extract with the exact v1 loop, so neighbour sets
+AND tie order match the XLA/torch reference exactly (torch.topk: lowest
+index among ties).  The eval-only kernels default to an AMP-style mode —
+bf16 feature selection, 3-pass bf16x3 scores, v3 class-walk extraction
+(tied candidates averaged) — and switch to the exact path under
+DGCNN_TPU_PALLAS_EXACT=1 / f32 select_dtype for bit-level parity.
 """
 from __future__ import annotations
 
@@ -172,13 +174,33 @@ def _run_select(scores, k, n, a_parts, init_state, consume_fn, finalize_fn,
     finalize_fn(box["s"], idx)
 
 
-def _scores(xq, xall):
-    inner = jax.lax.dot_general(
-        xq, xall,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )
+def _scores(xq, xall, exact: bool = True):
+    """Negative squared distances (torch-compatible form).  ``exact`` (the
+    default) runs the inner-product matmul at HIGHEST (6-pass, f32-exact) —
+    index-emitting kernels need torch-exact neighbour sets.  The AMP-style
+    eval kernels pass exact=False: a hand-rolled 3-pass bf16x3 (hi*hi +
+    hi*lo + lo*hi — Mosaic does not lower Precision.HIGH), ~2^-22 relative,
+    the same error class as their bf16 feature selection, with near-tie
+    flips absorbed by the v3 class-walk semantics."""
+    dims = (((1,), (1,)), ((), ()))
+    if exact:
+        inner = jax.lax.dot_general(
+            xq, xall, dimension_numbers=dims,
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        qh = xq.astype(jnp.bfloat16)
+        ql = (xq - qh.astype(jnp.float32)).astype(jnp.bfloat16)
+        ah = xall.astype(jnp.bfloat16)
+        al = (xall - ah.astype(jnp.float32)).astype(jnp.bfloat16)
+        inner = None
+        for a, b in ((qh, ah), (qh, al), (ql, ah)):
+            d = jax.lax.dot_general(
+                a, b, dimension_numbers=dims,
+                preferred_element_type=jnp.float32,
+            )
+            inner = d if inner is None else inner + d
     qq = jnp.sum(jnp.square(xq.astype(jnp.float32)), axis=1, keepdims=True)
     aa = jnp.sum(jnp.square(xall.astype(jnp.float32)), axis=1, keepdims=True)
     return 2.0 * inner - qq - aa.T
@@ -531,7 +553,7 @@ def _edge_conv1_kernel(k, slope, select_dtype, q_ref, x_ref, xf_ref, xq_ref,
     vb, pb = _lane_plan(cin)
     select_x = pb < pa or (pb == pa and vb == "v3" and va == "v1")
 
-    scores = _scores(q_ref[0], x_ref[0])
+    scores = _scores(q_ref[0], x_ref[0], exact=select_dtype == jnp.float32)
     wn = wn_ref[:]
     if select_x:
         payload = xf_ref[0].astype(select_dtype)
@@ -649,7 +671,8 @@ def _knn_edge2_kernel(k, slope, q_ref, x_ref, a1_ref, b1_ref, w2_ref,
     n = x_ref.shape[1]
     c2 = w2_ref.shape[1]
     tile = q_ref.shape[1]
-    scores = _scores(q_ref[0], x_ref[0])
+    # eval-only kernel: AMP-style 3-pass scores unless exact mode is forced
+    scores = _scores(q_ref[0], x_ref[0], exact=_train_exact())
     a1 = a1_ref[0]
     b1 = b1_ref[0]
     w2 = w2_ref[:]

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from dgcnn_tpu.ops.pallas_knn import _auto_interpret
 
 
-def _conv_pool_kernel(slope, compute_dtype, splits, *refs):
+def _conv_pool_kernel(slope, compute_dtype, splits, with_mean, *refs):
     nx = len(splits)
     x_refs = refs[:nx]
     w_ref, aff_ref, out_ref = refs[nx], refs[nx + 1], refs[nx + 2]
@@ -39,11 +39,13 @@ def _conv_pool_kernel(slope, compute_dtype, splits, *refs):
     y = h * aff_ref[0:1, :] + aff_ref[1:2, :]
     y = jnp.where(y >= 0, y, slope * y)
     out_ref[0, 0:1] = jnp.max(y, axis=0, keepdims=True)
-    out_ref[0, 1:2] = jnp.sum(y, axis=0, keepdims=True) / n
+    if with_mean:
+        out_ref[0, 1:2] = jnp.sum(y, axis=0, keepdims=True) / n
 
 
 @functools.partial(
-    jax.jit, static_argnames=("slope", "compute_dtype", "interpret")
+    jax.jit,
+    static_argnames=("slope", "compute_dtype", "with_mean", "interpret"),
 )
 def fused_conv_pool(
     xs: tuple[jax.Array, ...],
@@ -53,6 +55,7 @@ def fused_conv_pool(
     slope: float = 0.2,
     *,
     compute_dtype=jnp.bfloat16,
+    with_mean: bool = True,
     interpret: bool | None = None,
 ) -> jax.Array:
     """LeakyReLU((concat(xs) @ w) * scale + bias) max+mean-pooled over N,
@@ -65,7 +68,8 @@ def fused_conv_pool(
       compute_dtype: matmul operand dtype — bf16 matches XLA's default
         single-pass matmul precision on TPU; pass f32 for parity checks.
     Returns:
-      (B, 2, E): row 0 = max over N, row 1 = mean over N.
+      (B, 2, E): row 0 = max over N, row 1 = mean over N (with_mean=False
+      skips the mean — the partseg/semseg embedding pool is max-only).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -79,9 +83,10 @@ def fused_conv_pool(
     # whole-N per program: the (N, Ci) slabs + (N, E) activation fit VMEM
     assert n * (c + e) * 4 <= 32 * 1024 * 1024, (n, c, e)
 
+    rows = 2 if with_mean else 1
     aff = jnp.stack([scale, bias]).astype(jnp.float32)  # (2, E)
     kernel = functools.partial(_conv_pool_kernel, slope, compute_dtype,
-                               splits)
+                               splits, with_mean)
     in_specs = [
         pl.BlockSpec((1, n, ci), lambda bi: (bi, 0, 0),
                      memory_space=pltpu.VMEM)
@@ -94,9 +99,9 @@ def fused_conv_pool(
         kernel,
         grid=(b,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, 2, e), lambda bi: (bi, 0, 0),
+        out_specs=pl.BlockSpec((1, rows, e), lambda bi: (bi, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, 2, e), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((b, rows, e), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_auto_interpret(interpret),

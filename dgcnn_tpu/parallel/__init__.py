@@ -10,6 +10,7 @@ from dgcnn_tpu.parallel.mesh import (
     replicated,
 )
 from dgcnn_tpu.parallel.point_sharded import (
+    point_sharded_apply,
     sharded_edge_conv_fused,
     sharded_gather_neighbors,
     sharded_knn,
@@ -23,6 +24,7 @@ __all__ = [
     "distributed_init",
     "make_mesh",
     "replicated",
+    "point_sharded_apply",
     "sharded_edge_conv_fused",
     "sharded_gather_neighbors",
     "sharded_knn",

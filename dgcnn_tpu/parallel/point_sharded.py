@@ -21,6 +21,69 @@ from dgcnn_tpu.parallel.mesh import DATA_AXIS
 from dgcnn_tpu.ops.knn import pairwise_neg_sqdist
 
 
+def point_sharded_apply(apply_fn, mesh: Mesh, axis: str = DATA_AXIS,
+                        out_sharded: bool = True):
+    """Wrap a model EVAL apply so the point axis is sharded across ``mesh``.
+
+    ``apply_fn(variables, x)`` is written single-logical (a plain flax
+    ``model.apply`` closure); inside the shard_map body the
+    ``ops.pool.point_sharding`` context makes ``knn`` /
+    ``gather_neighbors`` / ``global_max`` / ``global_mean`` shard-aware
+    (one ICI all-gather per graph build, ``pmax``/``pmean`` for the global
+    pools) — see ops/pool.py.  ``x`` is (B, N, C) with N sharded over
+    ``axis``; variables are replicated.
+
+    ``out_sharded=True`` for per-point outputs (seg logits, embeddings);
+    ``False`` for per-cloud outputs (cls logits — replicated after the
+    global pool).  Eval-only: BatchNorm batch stats are not point-synced.
+    """
+    from dgcnn_tpu.ops.pool import point_sharding
+
+    def local(variables, x):
+        with point_sharding(axis):
+            return apply_fn(variables, x)
+
+    out_spec = P(None, axis, None) if out_sharded else P()
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(None, axis, None)),
+        out_specs=out_spec,
+        check_vma=False,
+    )
+
+
+def point_sharded_seg_eval(model, mesh: Mesh, axis: str = DATA_AXIS,
+                           smoothing: bool = True):
+    """Point-sharded semseg EVAL step (cli/semseg.py --point_shard): same
+    metrics contract as train.engine's eval step ({"loss", "preds"}), but
+    the (B, N, 9) blocks are sharded over the point axis — each device sees
+    N/D points, one ICI all-gather per dynamic graph build, pmax for the
+    global feature, pmean for the per-example loss.  N must divide by the
+    mesh size."""
+    from dgcnn_tpu.ops.pool import point_sharding
+    from dgcnn_tpu.train.loss import cross_entropy_per_example, \
+        masked_mean_loss
+
+    def local(state, points, seg, mask):
+        with point_sharding(axis):
+            logits = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                points, train=False)
+        per_ex = cross_entropy_per_example(logits, seg, smoothing)
+        per_ex = jax.lax.pmean(per_ex, axis)  # exact: equal-size shards
+        return {
+            "loss": masked_mean_loss(per_ex, mask),
+            "preds": jnp.argmax(logits, -1),
+        }
+
+    return jax.jit(shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(None, axis, None), P(None, axis), P(None)),
+        out_specs={"loss": P(), "preds": P(None, axis)},
+        check_vma=False,
+    ))
+
+
 def sharded_knn(mesh: Mesh, k: int, axis: str = DATA_AXIS):
     """Build a knn over clouds whose point axis is sharded across ``mesh``.
 

@@ -85,6 +85,14 @@ def test_semseg_train_smoke(data_env):
     log = open("outputs/smoke_sem/run.log").read()
     assert "test area: 6" in log
 
+    # point-sharded eval (sequence parallelism over the 8-device mesh)
+    # reports the same accuracy as the batch-parallel eval above
+    semseg.main(argv + ["--eval=True", "--point_shard=True",
+                        "--model_root=outputs/smoke_sem/models"])
+    lines = [ln for ln in open("outputs/smoke_sem/run.log").read().splitlines()
+             if "test area: 6" in ln]
+    assert len(lines) >= 2 and lines[-1] == lines[-2], lines[-2:]
+
 
 def test_partseg_dist_train_smoke(data_env):
     """The distributed trainer entry (DDP replacement) end-to-end on the

@@ -118,6 +118,26 @@ def test_cls_fused_conv_pool_matches_xla(force_pallas):
     )
 
 
+def test_partseg_fused_eval_matches_xla(force_pallas):
+    """DGCNNPartSeg eval (fused two-conv stages + fused embed-pool) equals
+    the XLA composition under exact settings."""
+    from dgcnn_tpu.models import DGCNNPartSeg
+
+    model = DGCNNPartSeg(emb_dims=32, k=5, dropout=0.0, seg_num_all=11)
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32))
+    lbl = jnp.asarray(np.eye(16, dtype=np.float32)[rng.randint(0, 16, 2)])
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, lbl,
+                           train=False)
+    with jax.default_matmul_precision("float32"):
+        out_p = model.apply(variables, x, lbl, train=False)
+        os.environ["DGCNN_TPU_PALLAS"] = "0"
+        out_x = model.apply(variables, x, lbl, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_p), np.asarray(out_x), rtol=2e-4, atol=2e-5
+    )
+
+
 def test_fused_edge2_block_matches_xla(force_pallas):
     """The fully fused two-conv stage (partseg/semseg blocks) in eval mode
     equals the XLA composition under exact-select settings."""

@@ -51,3 +51,47 @@ def test_sharded_edge_conv_matches_unsharded():
         got = np.asarray(jax.jit(sharded_edge_conv_fused(mesh, 5))(
             x, w1, w2, scale, bias))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_point_sharded_semseg_model_matches_unsharded():
+    """Whole DGCNNSemSeg eval forward with the point axis sharded over an
+    8-device mesh == the unsharded forward (per-point logits)."""
+    from dgcnn_tpu.models import DGCNNSemSeg
+    from dgcnn_tpu.parallel import point_sharded_apply
+
+    mesh = make_mesh(jax.devices()[:8])
+    model = DGCNNSemSeg(emb_dims=32, k=5, dropout=0.0)
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(2, 64, 9).astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+
+    def apply_fn(v, pts):
+        return model.apply(v, pts, train=False)
+
+    with jax.default_matmul_precision("float32"):
+        ref = np.asarray(apply_fn(variables, x))
+        call = jax.jit(point_sharded_apply(apply_fn, mesh))
+        got = np.asarray(call(variables, x))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_point_sharded_cls_model_matches_unsharded():
+    """DGCNNCls eval under point sharding: the global max+mean pools cross
+    shards via pmax/pmean; per-cloud logits replicate exactly."""
+    from dgcnn_tpu.models import DGCNNCls
+    from dgcnn_tpu.parallel import point_sharded_apply
+
+    mesh = make_mesh(jax.devices()[:8])
+    model = DGCNNCls(emb_dims=32, k=5, output_channels=7)
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 64, 3).astype(np.float32))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+
+    def apply_fn(v, pts):
+        return model.apply(v, pts, train=False)
+
+    with jax.default_matmul_precision("float32"):
+        ref = np.asarray(apply_fn(variables, x))
+        call = jax.jit(point_sharded_apply(apply_fn, mesh, out_sharded=False))
+        got = np.asarray(call(variables, x))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
