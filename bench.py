@@ -55,12 +55,12 @@ def _edge_conv_flops(n: int, k: int, c_graph: int, cins: list[int],
     (Co) / raw (Cin) payload (select-x mode adds k tiny per-selection
     projections — mirrors ops/pallas_knn._edge_conv1_kernel's lane plan),
     and the weight projections (2 N C Co)."""
+    from dgcnn_tpu.ops.pallas_knn import select_x_plan
+
     total = 0.0
     cg = c_graph
     for cin, co in zip(cins, couts):
-        pa = -(-(co + (1 if co % 128 else 0)) // 128)
-        pb = -(-(cin + (1 if cin % 128 else 0)) // 128)
-        select_x = pb < pa or (pb == pa and cin % 128 and not co % 128)
+        select_x, _ = select_x_plan(cin, co)
         total += 2.0 * n * n * cg          # scores (graph feature dim cg)
         if select_x:
             total += 2.0 * k * n * n * cin   # selection matmuls (raw feats)
@@ -132,8 +132,9 @@ def run_config(model_key: str) -> dict:
 
         # Honest semseg input: S3DIS blocks are sampled with replacement, so
         # ~1/4 of rows are duplicates; pin the exact extraction the semseg
-        # CLI defaults to for such data (cli/semseg.py).
-        os.environ["DGCNN_TPU_EXTRACT"] = "v1"
+        # CLI defaults to for such data (cli/semseg.py).  An explicit user
+        # DGCNN_TPU_EXTRACT wins; restored by main() after this config.
+        os.environ.setdefault("DGCNN_TPU_EXTRACT", "v1")
         model = DGCNNSemSeg(emb_dims=1024, k=k)
         pts = rng.rand(BATCH, num_points, 9).astype(np.float32)
         dup = num_points // 4
@@ -197,8 +198,17 @@ def main() -> None:
 
     configs = (["cls", "partseg", "semseg"]
                if (MODEL == "all" or "--all" in sys.argv) else [MODEL])
+    had_extract = os.environ.get("DGCNN_TPU_EXTRACT")
     for key in configs:
-        print(json.dumps(run_config(key)), flush=True)
+        try:
+            print(json.dumps(run_config(key)), flush=True)
+        finally:
+            # run_config("semseg") pins the extraction variant; restore so
+            # later configs (reordered lists, repeated calls) are unaffected
+            if had_extract is None:
+                os.environ.pop("DGCNN_TPU_EXTRACT", None)
+            else:
+                os.environ["DGCNN_TPU_EXTRACT"] = had_extract
 
 
 if __name__ == "__main__":

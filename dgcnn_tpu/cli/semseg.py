@@ -7,14 +7,6 @@ from __future__ import annotations
 import argparse
 import os
 
-# S3DIS blocks are sampled with replacement (ETL prepare/indoor3d.py, like
-# reference indoor3d_util.py:176), so clouds carry duplicated points: pin
-# the exact member-by-member extraction (v1) so neighbourhoods keep the
-# reference's duplicate-filled top-k semantics instead of v3's class-walk
-# (ops/pallas_knn._extract_loop_v3 docstring).  Read at trace time; users
-# can still override via the environment.
-os.environ.setdefault("DGCNN_TPU_EXTRACT", "v1")
-
 import numpy as np
 
 import jax
@@ -291,10 +283,24 @@ def main(argv=None):
     io = IOStream("outputs/" + args.exp_name + "/run.log")
     io.cprint(str(args))
     np.random.seed(args.seed)
-    if not args.eval:
-        train(args, io)
-    else:
-        test(args, io)
+    # S3DIS blocks are sampled with replacement (ETL prepare/indoor3d.py,
+    # like reference indoor3d_util.py:176), so clouds carry duplicated
+    # points: pin the exact member-by-member extraction (v1) so
+    # neighbourhoods keep the reference's duplicate-filled top-k semantics
+    # instead of v3's class-walk (ops/pallas_knn._extract_loop_v3
+    # docstring).  Read at trace time; explicit user env wins; scoped to
+    # this entry point (restored on return) so importing/looping over CLIs
+    # in one process does not pin other models' kernels.
+    had = "DGCNN_TPU_EXTRACT" in os.environ
+    os.environ.setdefault("DGCNN_TPU_EXTRACT", "v1")
+    try:
+        if not args.eval:
+            train(args, io)
+        else:
+            test(args, io)
+    finally:
+        if not had:
+            os.environ.pop("DGCNN_TPU_EXTRACT", None)
 
 
 if __name__ == "__main__":

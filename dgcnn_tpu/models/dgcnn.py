@@ -82,26 +82,38 @@ def _edge_block2(ec, cb, x, graph, k, train, slope=0.2, eps=1e-5):
     return jnp.max(h, axis=2)
 
 
-def _embed_max_pool(cb, cat, train, keepdims=False, slope=0.2):
+def _fused_embed_pool(cb, xs, train, with_mean, slope=0.2, eps=1e-5):
+    """The embedding conv + global pool, fused on TPU eval: conv -> folded
+    BN -> LeakyReLU -> max (+ mean) over N in one kernel consuming the
+    stage outputs directly (ops/pallas_pool.py) — neither their concat nor
+    the (B, N, emb) activation round-trips HBM.  Returns the (B, rows, emb)
+    pooled rows, or None when the fused path cannot serve this call
+    (training, pallas off, or VMEM-exceeding shapes)."""
+    import os as _os
+
+    from dgcnn_tpu.ops.edge_conv import fold_bn
+    from dgcnn_tpu.ops.pallas_pool import conv_pool_supported, fused_conv_pool
+
+    n = xs[0].shape[1]
+    width = sum(x.shape[-1] for x in xs)
+    if train or not (use_pallas(n)
+                     and conv_pool_supported(n, width, cb.features)):
+        return None
+    kc, gc, bec, mc, vc = cb(
+        jnp.zeros((1, 1, width), jnp.float32), return_params=True)
+    sc, tc = fold_bn(gc, bec, mc, vc, eps)
+    cdt = (jnp.float32 if _os.environ.get("DGCNN_TPU_PALLAS_EXACT")
+           else jnp.bfloat16)
+    return fused_conv_pool(tuple(xs), kc, sc, tc, slope, compute_dtype=cdt,
+                           with_mean=with_mean)
+
+
+def _embed_max_pool(cb, cat, train, keepdims=False):
     """Embedding conv -> BN -> LeakyReLU -> global max over N (the
     partseg/semseg ``conv6`` + pool, reference model.py DGCNN_partseg /
-    DGCNN_semseg).  Eval on TPU fuses the whole pipeline in one kernel
-    (ops/pallas_pool.py) — the (B, N, emb) activation feeds only the pool
-    and never round-trips HBM."""
-    if (not train) and use_pallas(cat.shape[1]):
-        import os as _os
-
-        from dgcnn_tpu.ops.edge_conv import fold_bn
-        from dgcnn_tpu.ops.pallas_pool import fused_conv_pool
-
-        kc, gc, bec, mc, vc = cb(
-            jnp.zeros((1, 1, cat.shape[-1]), jnp.float32),
-            return_params=True)
-        sc, tc = fold_bn(gc, bec, mc, vc, 1e-5)
-        cdt = (jnp.float32 if _os.environ.get("DGCNN_TPU_PALLAS_EXACT")
-               else jnp.bfloat16)
-        pm = fused_conv_pool((cat,), kc, sc, tc, slope, compute_dtype=cdt,
-                             with_mean=False)
+    DGCNN_semseg)."""
+    pm = _fused_embed_pool(cb, (cat,), train, with_mean=False)
+    if pm is not None:
         return pm if keepdims else pm[:, 0]
     g = cb(cat, train)
     return global_max(g, keepdims=keepdims)
@@ -200,24 +212,8 @@ class DGCNNCls(nn.Module):
         x3 = EdgeConv(128, axis_name=ax, name="conv3")(x2, train=train, graph=x2, k=kk)
         x4 = EdgeConv(256, axis_name=ax, name="conv4")(x3, train=train, graph=x3, k=kk)
         cb5 = ConvBN(self.emb_dims, axis_name=ax, name="conv5")
-        if not train and use_pallas(x.shape[1]):
-            # fused conv5 + folded BN + LeakyReLU + global max/mean pool:
-            # neither the stage concat nor the (B, N, emb) activation ever
-            # round-trips HBM (the kernel consumes the stage outputs
-            # directly against row slices of the conv5 weight)
-            import os as _os
-
-            from dgcnn_tpu.ops.edge_conv import fold_bn
-            from dgcnn_tpu.ops.pallas_pool import fused_conv_pool
-
-            width = x1.shape[-1] + x2.shape[-1] + x3.shape[-1] + x4.shape[-1]
-            k5, g5, be5, m5, v5 = cb5(
-                jnp.zeros((1, 1, width), jnp.float32), return_params=True)
-            s5, t5 = fold_bn(g5, be5, m5, v5, 1e-5)
-            cdt = (jnp.float32 if _os.environ.get("DGCNN_TPU_PALLAS_EXACT")
-                   else jnp.bfloat16)
-            pm = fused_conv_pool((x1, x2, x3, x4), k5, s5, t5, 0.2,
-                                 compute_dtype=cdt)
+        pm = _fused_embed_pool(cb5, (x1, x2, x3, x4), train, with_mean=True)
+        if pm is not None:
             pooled = jnp.concatenate([pm[:, 0], pm[:, 1]], axis=-1)
         else:
             cat = jnp.concatenate([x1, x2, x3, x4], axis=-1)

@@ -106,8 +106,13 @@ def _extract_loop_v3(scores, k, n, a_parts, state, consume_fn, onehot_dtype):
         cnt = jnp.maximum(aux[:, 0:1], 1.0)
         state = consume_fn(state, sel / cnt, t)
         if t + 1 < k:
-            m = jnp.max(jnp.where(scores < m, scores, -jnp.inf),
-                        axis=1, keepdims=True)
+            mnext = jnp.max(jnp.where(scores < m, scores, -jnp.inf),
+                            axis=1, keepdims=True)
+            # a row with fewer than k distinct classes re-walks its last
+            # (farthest) class instead of consuming phantom zeros —
+            # idempotent for the max/min consumers v3 serves, and exact
+            # reference behaviour when that class is a singleton
+            m = jnp.where(mnext > -jnp.inf, mnext, m)
     return state
 
 
@@ -138,15 +143,39 @@ def _sel_dot(mask, parts, aux=None):
 
 
 def _extract_version(default: str, allow: tuple[str, ...]) -> str:
-    """Extraction-loop variant for one kernel: the DGCNN_TPU_EXTRACT
-    environment override (read at TRACE time — set before the first forward)
-    when it is in ``allow`` for this kernel, else ``default``.  Kernels that
-    output neighbour indices only allow v1 (v3 walks tied classes and has no
+    """Extraction-loop variant for one kernel: an explicit DGCNN_TPU_EXTRACT
+    override (read at TRACE time — set before the first forward) when it is
+    in ``allow`` for this kernel; else v1 whenever exact mode
+    (DGCNN_TPU_PALLAS_EXACT) is on — bit-level parity includes torch's
+    member-by-member tie order; else ``default``.  Kernels that output
+    neighbour indices only allow v1 (v3 walks tied classes and has no
     per-member index stream)."""
     import os
 
     env = os.environ.get("DGCNN_TPU_EXTRACT")
-    return env if env in allow else default
+    if env in allow:
+        return env
+    if os.environ.get("DGCNN_TPU_PALLAS_EXACT"):
+        return "v1"
+    return default
+
+
+def select_x_plan(cin: int, co: int) -> tuple[bool, str]:
+    """The eval EdgeConv selection plan for payload widths (Cin raw, Co
+    projected): (select_x, variant).  select-x selects raw features and
+    projects per selection; it pays only when it removes a whole 128-lane
+    selection pass or unlocks the v3 loop (measured — see
+    _edge_conv1_kernel docstring).  bench.py's FLOPs model imports this so
+    the reported MFU tracks the implementation."""
+
+    def lane_plan(width):
+        v = "v3" if width % 128 else "v1"
+        return v, -(-(width + (v == "v3")) // 128)
+
+    va, pa = lane_plan(co)
+    vb, pb = lane_plan(cin)
+    select_x = pb < pa or (pb == pa and vb == "v3" and va == "v1")
+    return select_x, (vb if select_x else va)
 
 
 def _run_select(scores, k, n, a_parts, init_state, consume_fn, finalize_fn,
@@ -545,27 +574,22 @@ def _edge_conv1_kernel(k, slope, select_dtype, q_ref, x_ref, xf_ref, xq_ref,
     co = wn_ref.shape[1]
     tile = q_ref.shape[1]
 
-    def _lane_plan(width):
-        v = "v3" if width % 128 else "v1"
-        return v, -(-(width + (v == "v3")) // 128)
+    exact = select_dtype == jnp.float32
+    select_x, variant = select_x_plan(cin, co)
+    if exact:
+        variant = "v1"  # f32 selection = exact mode: torch tie order too
+    variant = _extract_version(variant, ("v1", "v3"))
 
-    va, pa = _lane_plan(co)
-    vb, pb = _lane_plan(cin)
-    select_x = pb < pa or (pb == pa and vb == "v3" and va == "v1")
-
-    scores = _scores(q_ref[0], x_ref[0], exact=select_dtype == jnp.float32)
+    scores = _scores(q_ref[0], x_ref[0], exact=exact)
     wn = wn_ref[:]
     if select_x:
         payload = xf_ref[0].astype(select_dtype)
-        variant = vb
     else:
         payload = jax.lax.dot_general(
             xf_ref[0], wn,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(select_dtype)
-        variant = va
-    variant = _extract_version(variant, ("v1", "v3"))
     b = jax.lax.dot_general(
         xq_ref[0], wc_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -698,7 +722,8 @@ def _knn_edge2_kernel(k, slope, q_ref, x_ref, a1_ref, b1_ref, w2_ref,
         out_ref[0] = st
 
     c1 = a1.shape[1]
-    variant = _extract_version("v3" if c1 % 128 else "v1", ("v1", "v3"))
+    variant = _extract_version(
+        "v1" if (_train_exact() or c1 % 128 == 0) else "v3", ("v1", "v3"))
     _run_select(scores, k, n, (a1,), init, consume, finalize,
                 onehot_dtype=jnp.float32, variant=variant)
 

@@ -20,6 +20,14 @@ import jax.numpy as jnp
 from dgcnn_tpu.ops.pallas_knn import _auto_interpret
 
 
+def conv_pool_supported(n: int, c: int, e: int) -> bool:
+    """Whether fused_conv_pool can serve this shape: the whole-N (N, Ci)
+    slabs plus the (N, E) activation must fit the per-program VMEM budget.
+    Model gates call this and fall back to the XLA concat+conv+pool path
+    when it fails (e.g. very large N eval)."""
+    return n * (c + e) * 4 <= 32 * 1024 * 1024
+
+
 def _conv_pool_kernel(slope, compute_dtype, splits, with_mean, *refs):
     nx = len(splits)
     x_refs = refs[:nx]
@@ -81,7 +89,8 @@ def fused_conv_pool(
     e = w.shape[1]
     assert w.shape[0] == c, (w.shape, splits)
     # whole-N per program: the (N, Ci) slabs + (N, E) activation fit VMEM
-    assert n * (c + e) * 4 <= 32 * 1024 * 1024, (n, c, e)
+    # (callers gate on conv_pool_supported and fall back to XLA otherwise)
+    assert conv_pool_supported(n, c, e), (n, c, e)
 
     rows = 2 if with_mean else 1
     aff = jnp.stack([scale, bias]).astype(jnp.float32)  # (2, E)

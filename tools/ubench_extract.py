@@ -1,12 +1,9 @@
 #!/usr/bin/env python
-"""Micro-benchmark for the Pallas kNN extraction-loop variants.
+"""Micro-benchmark for the index-emitting Pallas kNN reduce kernel.
 
-Times ``fused_knn_reduce`` on the real chip with the variant selected by
-DGCNN_TPU_EXTRACT (v1 = masked-rewrite, v2 = rewrite-free single-traversal).
-Run each variant in a fresh process (the variant is read at trace time):
-
-    DGCNN_TPU_EXTRACT=v1 python tools/ubench_extract.py
-    DGCNN_TPU_EXTRACT=v2 python tools/ubench_extract.py
+Times ``fused_knn_reduce`` (always the exact v1 extraction — kernels that
+output neighbour indices ignore DGCNN_TPU_EXTRACT) on the real chip; use
+tools/ubench_stage.py to A/B the eval extraction variants (v1 vs v3).
 
 Uses the same chained-fori_loop + host-readback timing as bench.py (naive
 block_until_ready returns early through the axon tunnel).
@@ -75,7 +72,7 @@ def main() -> None:
     total = min(timed(args.iters) for _ in range(3))
     per_iter = (total - base) / (args.iters - 1)
     print(json.dumps({
-        "variant": os.environ.get("DGCNN_TPU_EXTRACT", "auto"),
+        "variant": "v1",  # index-emitting kernels are pinned to v1
         "shape": f"B{args.batch} N{args.n} C{args.c} Co{args.co} k{args.k}",
         "ms_per_call": round(per_iter * 1e3, 3),
         "clouds_per_sec": round(args.batch / per_iter, 1),

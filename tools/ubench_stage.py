@@ -1,6 +1,8 @@
 #!/usr/bin/env python
-"""Micro-benchmark one fused_edge_conv_eval stage (the DGCNNCls hot block)
-across extraction variants: DGCNN_TPU_EXTRACT=v1|v5|v7 python tools/ubench_stage.py"""
+"""Micro-benchmark one fused_edge_conv_eval stage (the DGCNNCls hot block).
+The extraction variant defaults to the kernel's auto plan (select_x_plan);
+force one with DGCNN_TPU_EXTRACT=v1|v3.  Run each variant in a fresh
+process (the variant is read at trace time)."""
 from __future__ import annotations
 
 import argparse, json, os, sys, time
