@@ -246,6 +246,15 @@ def test(args, io: IOStream):
 def load_variables_any(path: str, args):
     if path.endswith(".msgpack"):
         return load_model(path)
+    from dgcnn_tpu.train.checkpoint import (
+        is_torch_checkpoint,
+        load_train_variables,
+    )
+
+    if not is_torch_checkpoint(path):
+        # our own epoch checkpoints reuse the reference's
+        # transformer_<epoch>.checkpoint naming but are msgpack payloads
+        return load_train_variables(path)
     from dgcnn_tpu.convert import (
         convert_dgcnn_partseg,
         convert_net,

@@ -147,20 +147,54 @@ class TransformNet(nn.Module):
     (test.ipynb cell 8 / upstream Transform_Net; shared trunk with the fork's
     PositionEmbedding, reference models/layers.py:8-39).
 
-    Input: per-edge features (B, N, k, 6) of the xyz graph.  Output: (B, 3, 3).
+    Input: per-edge features (B, N, k, 6) of the xyz graph — or pass
+    ``x``/``k`` (raw points) to let the net build its own graph, which on
+    TPU eval fuses the first two convs + max-over-k into one kNN kernel
+    (``conv(concat(x_j, x_i))`` factorizes into row slices of the conv1
+    kernel — the (B, N, k, 6/64/128) per-edge tensors never exist) and the
+    conv3 + global-max into the fused embed-pool.  Output: (B, 3, 3).
     Final layer init: weight 0, bias identity (reference layers.py:38-39).
     """
 
     axis_name: Optional[str] = None
 
     @nn.compact
-    def __call__(self, edge_feat: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, edge_feat: Optional[jax.Array] = None,
+                 train: bool = False, *, x: Optional[jax.Array] = None,
+                 k: Optional[int] = None) -> jax.Array:
         ax = self.axis_name
-        t = ConvBN(64, axis_name=ax, name="conv1")(edge_feat, train)
-        t = ConvBN(128, axis_name=ax, name="conv2")(t, train)
-        t = jnp.max(t, axis=2)                      # max over k -> (B, N, 128)
-        t = ConvBN(1024, axis_name=ax, name="conv3")(t, train)
-        t = global_max(t)                           # max over N -> (B, 1024)
+        cb1 = ConvBN(64, axis_name=ax, name="conv1")
+        cb2 = ConvBN(128, axis_name=ax, name="conv2")
+        if edge_feat is None:
+            assert x is not None and k is not None, (
+                "TransformNet needs edge_feat or (x, k)")
+            if (not train) and use_pallas(x.shape[1]):
+                from dgcnn_tpu.ops.edge_conv import _project, fold_bn
+                from dgcnn_tpu.ops.pallas_knn import fused_knn_edge2
+
+                c = x.shape[-1]
+                w1, g1, be1, m1, v1 = cb1(
+                    jnp.zeros((1, 1, 2 * c), jnp.float32),
+                    return_params=True)
+                w2, g2, be2, m2, v2 = cb2(
+                    jnp.zeros((1, 1, 64), jnp.float32), return_params=True)
+                s1, t1 = fold_bn(g1, be1, m1, v1, 1e-5)
+                s2, t2 = fold_bn(g2, be2, m2, v2, 1e-5)
+                # edge concat order [neighbour, centre] (ops/graph.py)
+                t = fused_knn_edge2(x, _project(x, w1[:c]),
+                                    _project(x, w1[c:]), s1, t1, w2, s2, t2,
+                                    k, 0.2)
+            else:
+                from dgcnn_tpu.ops.graph import get_graph_feature
+
+                e = get_graph_feature(x, k)
+                t = cb2(cb1(e, train), train)
+                t = jnp.max(t, axis=2)              # max over k
+        else:
+            t = cb2(cb1(edge_feat, train), train)
+            t = jnp.max(t, axis=2)                  # max over k -> (B, N, 128)
+        t = _embed_max_pool(
+            ConvBN(1024, axis_name=ax, name="conv3"), t, train)  # (B, 1024)
         t = DenseBNReLU(512, axis_name=ax, name="linear1")(t, train)
         t = DenseBNReLU(256, axis_name=ax, name="linear2")(t, train)
         t = nn.Dense(
@@ -182,11 +216,8 @@ class PositionEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        from dgcnn_tpu.ops.graph import edge_features
-
-        idx = knn(x, self.k)
-        e = edge_features(x, idx)                   # (B, N, k, 6)
-        t = TransformNet(axis_name=self.axis_name, name="tnet")(e, train)
+        t = TransformNet(axis_name=self.axis_name, name="tnet")(
+            None, train, x=x, k=self.k)
         return jnp.einsum(
             "bnc,bcd->bnd", x, t, precision=jax.lax.Precision.HIGHEST
         )
@@ -271,13 +302,10 @@ class DGCNNPartSeg(nn.Module):
     def __call__(
         self, x: jax.Array, label_one_hot: jax.Array, train: bool = False
     ) -> jax.Array:
-        from dgcnn_tpu.ops.graph import edge_features
-
         ax = self.axis_name
         b, n, _ = x.shape
-        idx = knn(x, self.k)
-        e = edge_features(x, idx)
-        t = TransformNet(axis_name=ax, name="transform_net")(e, train)
+        t = TransformNet(axis_name=ax, name="transform_net")(
+            None, train, x=x, k=self.k)
         x = jnp.einsum("bnc,bcd->bnd", x, t, precision=jax.lax.Precision.HIGHEST)
 
         x1 = _edge_block2(

@@ -7,6 +7,15 @@ The per-point principal direction comes from the closed-form 3x3
 eigendecomposition of the neighbourhood covariance (ops/eig3.py); the soft
 bin-voting loop becomes a one-hot einsum.
 
+On TPU the whole pipeline is gather-free (two fused Pallas calls): the
+unnormalized covariance is built from per-neighbourhood SUMS of
+[x, vech(x xT)] (one ``fused_knn_reduce`` — the (B, N, k, 3) neighbourhood
+tensor never exists), and because a neighbour's vote vector depends only on
+that neighbour's own (gradient, magnitude), the histogram is a
+per-neighbourhood SUM of per-POINT 18-vectors (``edge_sum_reduce`` over the
+saved indices).  The reference recomputes the same vote for every edge and
+gathers three (B, N, k, ·) tensors through memory.
+
 Semantics mirror the reference exactly except for the eigenvector sign, which
 LAPACK leaves algorithm-defined and we fix deterministically (largest-magnitude
 component non-negative).  The reference's azimuth NaN when g_x == 0
@@ -31,7 +40,7 @@ import jax.numpy as jnp
 
 from dgcnn_tpu.ops.eig3 import principal_eig3x3_sym
 from dgcnn_tpu.ops.graph import gather_neighbors
-from dgcnn_tpu.ops.knn import knn
+from dgcnn_tpu.ops.knn import knn, use_pallas
 
 _NUM_BINS = 9
 _BIN_WIDTH = 20.0
@@ -73,6 +82,76 @@ def _flat_gather_no_base(feat: jax.Array, idx: jax.Array) -> jax.Array:
     return feat.reshape(b * n, c)[idx.reshape(-1)].reshape(b, n, k, c)
 
 
+def _vote_components(grad: jax.Array, mag: jax.Array) -> jax.Array:
+    """Soft bin votes of one gradient: grad (..., 3), mag (..., 1) ->
+    (..., 2, 9) votes per (zenith/azimuth channel, bin) — the reference's
+    angle/binning semantics (model_partseg.py:53-89) exactly."""
+    zenith = jnp.degrees(jnp.arccos(jnp.clip(grad[..., 2], -1.0, 1.0)))
+    # Reference uses atan(y/x), not atan2 — quadrant folding + NaN at x=0 kept.
+    azimuth = jnp.degrees(jnp.arctan(grad[..., 1] / grad[..., 0]))
+
+    ang = jnp.stack([zenith, azimuth], axis=-1)           # (..., 2)
+    ang = jnp.trunc(ang)                                  # reference .int() cast
+    ang = jnp.where(ang < 0, ang + 180.0, ang)
+
+    bins = jnp.mod(jnp.floor(ang / _BIN_WIDTH - 0.5), _NUM_BINS)
+    first_centers = _BIN_WIDTH * (jnp.mod(bins + 1, _NUM_BINS) + 0.5)
+    first_votes = mag * jnp.mod(first_centers - ang, 180.0) / _BIN_WIDTH
+    second_centers = _BIN_WIDTH * (bins + 0.5)
+    second_votes = mag * jnp.mod(ang - second_centers, 180.0) / _BIN_WIDTH
+
+    # first vote -> bin c, second vote -> (c+1) % 9 (reference :87-89)
+    oh_first = jax.nn.one_hot(bins.astype(jnp.int32), _NUM_BINS,
+                              dtype=grad.dtype)
+    oh_second = jax.nn.one_hot(
+        jnp.mod(bins + 1, _NUM_BINS).astype(jnp.int32), _NUM_BINS,
+        dtype=grad.dtype)
+    return first_votes[..., None] * oh_first + second_votes[..., None] * oh_second
+
+
+def _normalize_hist(hist: jax.Array) -> jax.Array:
+    """L2 normalize (B, N, 9, 2) over the bin axis (per angle channel), eps
+    as F.normalize; interleave as the reference's row-major reshape."""
+    b, n = hist.shape[:2]
+    norm = jnp.sqrt(jnp.sum(jnp.square(hist), axis=2, keepdims=True))
+    hist = hist / jnp.maximum(norm, 1e-12)
+    return hist.reshape(b, n, _NUM_BINS * 2)
+
+
+def _compute_hog_fused(x: jax.Array, k: int) -> jax.Array:
+    """Gather-free TPU path (module docstring): per-neighbourhood moment
+    sums -> covariance -> per-point votes -> per-neighbourhood vote sums."""
+    from dgcnn_tpu.ops.pallas_knn import edge_sum_reduce, fused_knn_reduce
+
+    # HOG is detached in the reference (computed on host numpy); the vote
+    # sum kernel is non-differentiable by design.
+    x = jax.lax.stop_gradient(x)
+    b, n, _ = x.shape
+    x0, x1, x2 = x[..., 0], x[..., 1], x[..., 2]
+    moments = jnp.stack(
+        [x0, x1, x2, x0 * x0, x1 * x1, x2 * x2, x0 * x1, x0 * x2, x1 * x2],
+        axis=-1)                                          # (B, N, 9)
+    idx, _, _, msum = fused_knn_reduce(
+        x, moments, k, select_dtype=jnp.float32)
+    s = msum[..., 0:3]                                    # sum of x
+    q = msum[..., 3:9]       # sums of [x0^2, x1^2, x2^2, x0x1, x0x2, x1x2]
+    # unnormalized covariance: sum x xT - (sum x)(sum x)^T / k
+    o = s[..., :, None] * s[..., None, :] / k             # (B, N, 3, 3)
+    cov = jnp.stack([
+        jnp.stack([q[..., 0], q[..., 3], q[..., 4]], axis=-1),
+        jnp.stack([q[..., 3], q[..., 1], q[..., 5]], axis=-1),
+        jnp.stack([q[..., 4], q[..., 5], q[..., 2]], axis=-1),
+    ], axis=-2) - o
+    grad, lam0 = principal_eig3x3_sym(cov)
+    mag = jnp.power(jnp.maximum(lam0, 0.0), 0.25)[..., None]
+
+    votes = _vote_components(grad, mag)                   # (B, N, 2, 9)
+    # flatten as [bin, channel] so the summed histogram reshapes directly
+    vflat = jnp.transpose(votes, (0, 1, 3, 2)).reshape(b, n, _NUM_BINS * 2)
+    hist = edge_sum_reduce(vflat, idx, k)                 # (B, N, 18)
+    return _normalize_hist(hist.reshape(b, n, _NUM_BINS, 2))
+
+
 @functools.partial(jax.jit, static_argnames=("k", "bug_compat"))
 def compute_hog(x: jax.Array, k: int, *, bug_compat: bool = False) -> jax.Array:
     """Histogram of oriented gradients with cell size 1 (every point).
@@ -86,6 +165,8 @@ def compute_hog(x: jax.Array, k: int, *, bug_compat: bool = False) -> jax.Array:
       interleaved as the reference's (B, N, 9, 2) row-major reshape.
     """
     b, n, _ = x.shape
+    if not bug_compat and use_pallas(n):
+        return _compute_hog_fused(x, k)
     idx = knn(x, k)
     if bug_compat:
         # reference model_partseg.py:26-30: view on the untransposed (B, 3, N)
@@ -107,31 +188,6 @@ def compute_hog(x: jax.Array, k: int, *, bug_compat: bool = False) -> jax.Array:
         grad_nn = gather_neighbors(grad, idx)             # (B, N, k, 3)
         mag_nn = gather_neighbors(mag, idx)               # (B, N, k, 1)
 
-    zenith = jnp.degrees(jnp.arccos(jnp.clip(grad_nn[..., 2], -1.0, 1.0)))
-    # Reference uses atan(y/x), not atan2 — quadrant folding + NaN at x=0 kept.
-    azimuth = jnp.degrees(jnp.arctan(grad_nn[..., 1] / grad_nn[..., 0]))
-
-    ang = jnp.stack([zenith, azimuth], axis=-1)           # (B, N, k, 2)
-    ang = jnp.trunc(ang)                                  # reference .int() cast
-    ang = jnp.where(ang < 0, ang + 180.0, ang)
-
-    bins = jnp.mod(jnp.floor(ang / _BIN_WIDTH - 0.5), _NUM_BINS)
-    first_centers = _BIN_WIDTH * (jnp.mod(bins + 1, _NUM_BINS) + 0.5)
-    first_votes = mag_nn * jnp.mod(first_centers - ang, 180.0) / _BIN_WIDTH
-    second_centers = _BIN_WIDTH * (bins + 0.5)
-    second_votes = mag_nn * jnp.mod(ang - second_centers, 180.0) / _BIN_WIDTH
-
-    # Scatter-by-one-hot replaces the reference's python loop over 9 bins
-    # (model_partseg.py:87-89).  first vote -> bin c, second vote -> (c+1) % 9.
-    oh_first = jax.nn.one_hot(bins.astype(jnp.int32), _NUM_BINS, dtype=x.dtype)
-    oh_second = jax.nn.one_hot(
-        jnp.mod(bins + 1, _NUM_BINS).astype(jnp.int32), _NUM_BINS, dtype=x.dtype
-    )
-    # (B, N, k, 2, bins) summed over k -> (B, N, bins, 2)
-    hist = jnp.einsum("bnkc,bnkch->bnhc", first_votes, oh_first)
-    hist = hist + jnp.einsum("bnkc,bnkch->bnhc", second_votes, oh_second)
-
-    # L2 normalize over the bin axis (per angle channel), eps as F.normalize.
-    norm = jnp.sqrt(jnp.sum(jnp.square(hist), axis=2, keepdims=True))
-    hist = hist / jnp.maximum(norm, 1e-12)
-    return hist.reshape(b, n, _NUM_BINS * 2)
+    votes = _vote_components(grad_nn, mag_nn)             # (B, N, k, 2, 9)
+    hist = jnp.transpose(jnp.sum(votes, axis=2), (0, 1, 3, 2))  # (B,N,9,2)
+    return _normalize_hist(hist)

@@ -36,7 +36,17 @@ def _supported(n: int) -> bool:
 def _pick_tile(n: int) -> int:
     """Largest query tile whose (tile, N) f32 score block stays ~2 MB — bigger
     tiles amortize per-program overhead (measured: 512 is ~25% faster than 128
-    at N=1024) while leaving VMEM room for the x/a slabs and pipelining."""
+    at N=1024) while leaving VMEM room for the x/a slabs and pipelining.
+    Tried and rejected (r2): a 4 MB cap (tile 1024 at N=1024, 256 at N=4096)
+    wins 2-9% at single-stage ubench but is flat at cls model level and
+    REGRESSES semseg 353->310 clouds/s — fewer grid programs lose more
+    DMA/compute overlap than the per-program overhead saved.
+    DGCNN_TPU_TILE overrides for experiments (trace-time)."""
+    import os
+
+    forced = os.environ.get("DGCNN_TPU_TILE")
+    if forced and n % int(forced) == 0:
+        return int(forced)
     for tile in (512, 256, 128):
         if n % tile == 0 and tile * n * 4 <= 2 * 1024 * 1024:
             return tile
@@ -129,6 +139,8 @@ def _sel_dot(mask, parts, aux=None):
                                   dimension_numbers=dims,
                                   preferred_element_type=jnp.float32)
         return None, out
+    if aux is None:
+        return _onehot_dot(mask, parts, dims), None
     first = parts[0]
     if aux is not None:
         first = jnp.concatenate([first, aux.astype(first.dtype)], axis=1)
@@ -250,7 +262,20 @@ def _onehot_dot(onehot, parts, dims=(((1,), (0,)), ((), ()))):
     """Sum of single-pass bf16 matmuls against the split operand.  With a
     0/1 one-hot (exact in bf16) this reconstructs the f32 selection exactly
     at 3 MXU passes — half the cost of a Precision.HIGHEST f32 matmul, which
-    needlessly splits the one-hot operand too."""
+    needlessly splits the one-hot operand too.  Narrow payloads (total
+    split lanes within one 128-lane pass) concatenate the parts along lanes
+    instead: ONE matmul, summed by slicing — 3x cheaper for Co <= 42."""
+    co = parts[0].shape[1]
+    if len(parts) > 1 and len(parts) * co <= 128:
+        cat = jnp.concatenate(parts, axis=1)
+        sel = jax.lax.dot_general(
+            onehot, cat, dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        )
+        out = sel[:, :co]
+        for p in range(1, len(parts)):
+            out = out + sel[:, p * co:(p + 1) * co]
+        return out
     out = None
     for p in parts:
         d = jax.lax.dot_general(
@@ -693,6 +718,7 @@ def _knn_edge2_kernel(k, slope, q_ref, x_ref, a1_ref, b1_ref, w2_ref,
     max_j lrelu(s2 * (lrelu(s1*(a1[j]+b1[i]) + t1) @ w2) + t2).
     aff_ref rows: [s1; t1; s2pad; t2pad] with s2/t2 padded to C1 lanes."""
     n = x_ref.shape[1]
+    c1 = a1_ref.shape[2]
     c2 = w2_ref.shape[1]
     tile = q_ref.shape[1]
     # eval-only kernel: AMP-style 3-pass scores unless exact mode is forced
@@ -700,8 +726,8 @@ def _knn_edge2_kernel(k, slope, q_ref, x_ref, a1_ref, b1_ref, w2_ref,
     a1 = a1_ref[0]
     b1 = b1_ref[0]
     w2 = w2_ref[:]
-    s1 = aff_ref[0:1, :]
-    t1 = aff_ref[1:2, :]
+    s1 = aff_ref[0:1, :c1]
+    t1 = aff_ref[1:2, :c1]
     s2 = aff_ref[2:3, :c2]
     t2 = aff_ref[3:4, :c2]
 
@@ -765,11 +791,11 @@ def fused_knn_edge2(
     c1 = a1.shape[2]
     c2 = w2.shape[1]
     assert _supported(n), f"N={n} must be a multiple of {TILE_N}"
-    assert c2 <= c1, "affine packing assumes C2 <= C1"
     tile = _pick_tile(n)
 
-    aff = jnp.zeros((4, c1), jnp.float32)
-    aff = aff.at[0].set(s1).at[1].set(t1)
+    cw = max(c1, c2)
+    aff = jnp.zeros((4, cw), jnp.float32)
+    aff = aff.at[0, :c1].set(s1).at[1, :c1].set(t1)
     aff = aff.at[2, :c2].set(s2).at[3, :c2].set(t2)
 
     kernel = functools.partial(_knn_edge2_kernel, k, slope)
@@ -787,7 +813,7 @@ def fused_knn_edge2(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((c1, c2), lambda bi, ti: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, c1), lambda bi, ti: (0, 0),
+            pl.BlockSpec((4, cw), lambda bi, ti: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, tile, c2), lambda bi, ti: (bi, ti, 0),
@@ -1073,6 +1099,86 @@ def _edge2_bwd(k, slope, exact, res, cts):
 
 
 _edge2_reduce.defvjp(_edge2_fwd, _edge2_bwd)
+
+
+def _edge_sum_kernel(k, exact, idx_ref, a_ref, out_ref):
+    """Sum of ``a`` rows over precomputed neighbour indices — no extraction
+    loop and no HBM gather.  Because the reduction is a pure SUM, the k
+    one-hots collapse into one MULTI-hot mask (k VPU compare-adds, counts
+    <= k exact in bf16) and the whole neighbourhood sum is a single
+    (TILE, N) x (N, Co) matmul; with the exact 3-way split concatenated
+    along lanes (hi|mid|lo <= 128 lanes for Co <= 42) that one matmul stays
+    pad-free.  ~6x cheaper than k separate selection matmuls at the HOG
+    shape (N=2048, k=32, Co=18)."""
+    n = a_ref.shape[1]
+    tile = idx_ref.shape[1]
+    co = a_ref.shape[2]
+    col = jax.lax.broadcasted_iota(jnp.int32, (tile, n), 1)
+    parts = _parts(a_ref[0], exact)
+    idx = idx_ref[0]
+    mh = None
+    for t in range(k):
+        oh = (col == idx[:, t:t + 1]).astype(jnp.bfloat16)
+        mh = oh if mh is None else mh + oh
+    if len(parts) * co <= 128:
+        cat = jnp.concatenate(parts, axis=1)
+        sel = jax.lax.dot_general(
+            mh, cat, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = sel[:, :co]
+        for p in range(1, len(parts)):
+            acc = acc + sel[:, p * co:(p + 1) * co]
+        out_ref[0] = acc
+    else:
+        out_ref[0] = _onehot_dot(mh, parts)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "exact", "interpret"))
+def edge_sum_reduce(
+    a: jax.Array,
+    idx: jax.Array,
+    k: int,
+    *,
+    exact: bool = True,
+    interpret: bool | None = None,
+) -> jax.Array:
+    """Per-neighbourhood sums of ``a`` over saved kNN indices.
+
+    Args:
+      a: (B, N, Co) per-point features.
+      idx: (B, N, k) int32 neighbour indices (duplicates allowed — each
+        occurrence contributes, like the reference's gathered sum).
+      exact: f32-exact selection via the 3-way bf16 split (default — the
+        HOG consumer feeds covariance cancellation); False = single-pass
+        bf16.
+    Returns:
+      (B, N, Co) float32 sums.  Non-differentiable (use with detached
+      consumers, e.g. ops/hog.py — the reference computes HOG on host
+      numpy, i.e. detached).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, co = a.shape
+    assert _supported(n), f"N={n} must be a multiple of {TILE_N}"
+    tile = _pick_tile(n)
+    kernel = functools.partial(_edge_sum_kernel, k, exact)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, k), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, co), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile, co), lambda bi, ti: (bi, ti, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, co), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_auto_interpret(interpret),
+    )(idx, a)
 
 
 def _knn_only_kernel(k, q_ref, x_ref, idx_ref):

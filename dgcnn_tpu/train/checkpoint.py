@@ -55,6 +55,26 @@ def save_train_checkpoint(
         f.write(serialization.msgpack_serialize(payload))
 
 
+def load_train_variables(path: str) -> dict:
+    """Eval-side restore of a ``save_train_checkpoint`` file without a
+    TrainState template: just {"params", "batch_stats"} — the reference
+    evals its own ``transformer_<epoch>.checkpoint`` the same way
+    (main_partseg.py:166-171)."""
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    return {"params": payload["params"],
+            "batch_stats": payload["batch_stats"]}
+
+
+def is_torch_checkpoint(path: str) -> bool:
+    """Whether a file is a torch pickle/zip checkpoint (as opposed to this
+    framework's msgpack payloads, which reuse the reference's .t7 /
+    .checkpoint file names)."""
+    with open(path, "rb") as f:
+        head = f.read(2)
+    return head[:1] == b"\x80" or head == b"PK"
+
+
 def load_train_checkpoint(path: str, state) -> Tuple[Any, int, float]:
     """Restore a TrainState (template ``state`` supplies the pytree structure
     for the optimizer state) -> (state, epoch, loss)."""

@@ -66,6 +66,16 @@ def test_partseg_train_then_eval_with_visu(data_env):
     # resume path restores without error
     partseg.main(argv + ["--resume=True"])
 
+    # eval from the CLI's OWN saved epoch checkpoint (msgpack payload
+    # behind the reference's transformer_<epoch>.checkpoint naming) —
+    # the checkpoint round-trips through the quirk-preserving
+    # outputs/<exp>/<model_path> resolution (cli/partseg.py test())
+    assert os.path.exists("outputs/smoke_part/models/transformer_0.checkpoint")
+    partseg.main(argv + ["--eval=True",
+                         "--model_path=models/transformer_0.checkpoint"])
+    log = open("outputs/smoke_part/run.log").read()
+    assert log.count("test iou:") >= 2
+
 
 def test_semseg_train_smoke(data_env):
     from dgcnn_tpu.cli import semseg

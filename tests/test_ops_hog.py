@@ -153,3 +153,26 @@ def test_hog_matches_reference_where_signs_agree():
     ours_az = ours_h.reshape(b, n, 9, 2)[..., 1]
     ref_az = ref_h.reshape(b, n, 9, 2)[..., 1]
     np.testing.assert_allclose(ours_az[rows_ok], ref_az[rows_ok], atol=5e-3)
+
+
+def test_hog_fused_matches_xla_path(monkeypatch):
+    """The gather-free fused TPU path (moment sums + per-point vote sums via
+    Pallas, interpret mode) == the XLA gather path.  Histogram bins are
+    discrete, so away from integer-degree truncation boundaries the match is
+    tight; moment-vs-centered covariance fp differences can flip a
+    truncated degree at boundaries, so compare with a small tolerance and
+    require near-exactness on the overwhelming majority."""
+    import jax
+
+    from dgcnn_tpu.ops.hog import compute_hog
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(2, 256, 3).astype(np.float32))
+    k = 12
+    with jax.default_matmul_precision("float32"):
+        ref = np.asarray(compute_hog.__wrapped__(x, k))  # use_pallas False
+        monkeypatch.setenv("DGCNN_TPU_PALLAS", "1")
+        got = np.asarray(compute_hog.__wrapped__(x, k))
+    close = np.isclose(got, ref, rtol=1e-4, atol=1e-4)
+    assert close.mean() > 0.999, close.mean()
+    np.testing.assert_allclose(got, ref, rtol=0.1, atol=0.05)

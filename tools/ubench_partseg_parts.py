@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Break down the fusion-Net partseg forward: time each sub-block at the
+bench config (B=64, N=2048, k=32, emb=512) with the chained-readback
+harness.  Usage: python tools/ubench_partseg_parts.py [--part all]"""
+from __future__ import annotations
+
+import argparse, json, os, sys, time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _timed(run, args, iters):
+    import jax.numpy as jnp
+
+    def t(n):
+        t0 = time.perf_counter(); float(run(*args, n)); return time.perf_counter() - t0
+    t(1); t(iters)
+    base = min(t(1) for _ in range(3))
+    total = min(t(iters) for _ in range(3))
+    return (total - base) / (iters - 1)
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--part", default="all")
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--n", type=int, default=2048)
+    p.add_argument("--k", type=int, default=32)
+    p.add_argument("--iters", type=int, default=10)
+    args = p.parse_args()
+
+    from dgcnn_tpu.utils import enable_compilation_cache
+    enable_compilation_cache()
+    import jax, jax.numpy as jnp, numpy as np
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(args.batch, args.n, 3).astype(np.float32) * 0.5)
+
+    def chain(model_apply):
+        def chained(x0, iters):
+            def body(_, carry):
+                acc, xc = carry
+                out = model_apply(xc)
+                s = jnp.sum(out) * 1e-12
+                return acc + s, x0 + s
+            acc, _ = jax.lax.fori_loop(0, iters, body,
+                                       (jnp.float32(0), x0))
+            return acc
+        return jax.jit(chained, static_argnums=(1,))
+
+    parts = {}
+
+    if args.part in ("all", "dgcnn"):
+        from dgcnn_tpu.models.dgcnn import DGCNN
+
+        m = DGCNN(emb_dims=512, k=args.k)
+        v = m.init({"params": jax.random.PRNGKey(0)}, x[:1], train=False)
+        parts["dgcnn_backbone"] = chain(
+            lambda xc, m=m, v=v: m.apply(v, xc, train=False))
+    if args.part in ("all", "hog"):
+        from dgcnn_tpu.ops.hog import compute_hog
+
+        parts["hog"] = chain(lambda xc: compute_hog(xc, k=args.k))
+    if args.part in ("all", "posemb"):
+        from dgcnn_tpu.models.dgcnn import PositionEmbedding
+
+        m = PositionEmbedding(k=args.k)
+        v = m.init({"params": jax.random.PRNGKey(0)}, x[:1], train=False)
+        parts["pos_embedding"] = chain(
+            lambda xc, m=m, v=v: m.apply(v, xc, train=False))
+    if args.part in ("all", "net"):
+        from dgcnn_tpu.models import Net
+
+        m = Net(emb_dim=512, k=args.k, n_heads=2, n_blocks=2, ff_dims=512,
+                d_qkv=64, nclasses=50)
+        lbl = jnp.asarray(
+            np.eye(16, dtype=np.float32)[rng.randint(0, 16, args.batch)])
+        v = m.init({"params": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1)}, x[:1], lbl[:1],
+                   train=False)
+        parts["net_full"] = chain(
+            lambda xc, m=m, v=v: m.apply(v, xc, lbl, train=False))
+
+    for name, run in parts.items():
+        ms = _timed(run, (x,), args.iters) * 1e3
+        print(json.dumps({"part": name, "ms_per_call": round(ms, 2),
+                          "shape": f"B{args.batch} N{args.n} k{args.k}"}),
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
