@@ -26,6 +26,24 @@ from flax import linen as nn
 from dgcnn_tpu.models.nn_layers import leaky_relu
 
 
+def _use_flash(train: bool, dropout: float, qshape) -> bool:
+    """Serve softmax attention with the blockwise Pallas kernel: TPU
+    backend, eval (or dropout-free — the kernel has no prob-dropout),
+    block-aligned sequence lengths, not disabled (DGCNN_TPU_FLASH=0)."""
+    import os
+
+    if os.environ.get("DGCNN_TPU_FLASH") == "0":
+        return False
+    if train and dropout > 0.0:
+        return False
+    if qshape[2] % 128 != 0 or qshape[3] % 128 != 0:
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
+
 class TorchMultiheadAttention(nn.Module):
     """torch.nn.MultiheadAttention(batch_first=True) equivalent: packed
     in-projection (3E x E weight + 3E bias) and out-projection with bias."""
@@ -61,12 +79,38 @@ class TorchMultiheadAttention(nn.Module):
             return x.reshape(b, -1, h, d).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
-        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
-            jnp.asarray(d, q.dtype)
-        )
-        attn = jax.nn.softmax(scores, axis=-1)
-        attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        if _use_flash(train, self.dropout, q.shape):
+            # blockwise (flash) attention: the (B, h, Nq, Nk) score/prob
+            # tensors never leave VMEM — exact softmax attention with
+            # online normalization (identical math, fp-level differences).
+            # Block sizes matter: the library default (128) is 2x SLOWER
+            # than XLA's dense attention at this shape; 1024 blocks are
+            # 2.1x FASTER (B64 h2 N2048 d256: XLA 10.6 ms, flash-128
+            # 21.4 ms, flash-1024 4.95 ms).
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                BlockSizes,
+                flash_attention,
+            )
+
+            def blk(n):
+                return max(b for b in (1024, 512, 256, 128) if n % b == 0)
+
+            bq, bk = blk(q.shape[2]), blk(k.shape[2])
+            bs = BlockSizes(
+                block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+                block_q_major_dkv=bq, block_k_major_dkv=bk, block_k_dkv=bk,
+                block_q_dkv=bq, block_k_major_dq=bk, block_k_dq=bk,
+                block_q_dq=bq,
+            )
+            out = flash_attention(q, k, v, sm_scale=1.0 / float(d) ** 0.5,
+                                  block_sizes=bs)
+        else:
+            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
+                jnp.asarray(d, q.dtype)
+            )
+            attn = jax.nn.softmax(scores, axis=-1)
+            attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, nq, e)
         return nn.Dense(e, name="out_proj")(out)
 
