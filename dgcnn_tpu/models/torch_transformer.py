@@ -26,17 +26,18 @@ from flax import linen as nn
 from dgcnn_tpu.models.nn_layers import leaky_relu
 
 
-def _use_flash(train: bool, dropout: float, qshape) -> bool:
+def _use_flash(train: bool, dropout: float, qshape, kshape) -> bool:
     """Serve softmax attention with the blockwise Pallas kernel: TPU
     backend, eval (or dropout-free — the kernel has no prob-dropout),
-    block-aligned sequence lengths, not disabled (DGCNN_TPU_FLASH=0)."""
+    block-aligned query/key lengths and head dim, not disabled
+    (DGCNN_TPU_FLASH=0)."""
     import os
 
     if os.environ.get("DGCNN_TPU_FLASH") == "0":
         return False
     if train and dropout > 0.0:
         return False
-    if qshape[2] % 128 != 0 or qshape[3] % 128 != 0:
+    if qshape[2] % 128 or kshape[2] % 128 or qshape[3] % 128:
         return False
     try:
         return jax.default_backend() == "tpu"
@@ -79,7 +80,7 @@ class TorchMultiheadAttention(nn.Module):
             return x.reshape(b, -1, h, d).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
-        if _use_flash(train, self.dropout, q.shape):
+        if _use_flash(train, self.dropout, q.shape, k.shape):
             # blockwise (flash) attention: the (B, h, Nq, Nk) score/prob
             # tensors never leave VMEM — exact softmax attention with
             # online normalization (identical math, fp-level differences).

@@ -126,6 +126,11 @@ def _compute_hog_fused(x: jax.Array, k: int) -> jax.Array:
     # HOG is detached in the reference (computed on host numpy); the vote
     # sum kernel is non-differentiable by design.
     x = jax.lax.stop_gradient(x)
+    # the moment form (sum x xT - (sum x)(sum x)T / k) cancels against the
+    # coordinate MAGNITUDE, not the neighbourhood extent: center the cloud
+    # first (covariance and neighbour sets are translation invariant) so
+    # off-origin clouds keep f32 accuracy like the centered XLA path
+    x = x - jnp.mean(x, axis=1, keepdims=True)
     b, n, _ = x.shape
     x0, x1, x2 = x[..., 0], x[..., 1], x[..., 2]
     moments = jnp.stack(
@@ -148,6 +153,13 @@ def _compute_hog_fused(x: jax.Array, k: int) -> jax.Array:
     votes = _vote_components(grad, mag)                   # (B, N, 2, 9)
     # flatten as [bin, channel] so the summed histogram reshapes directly
     vflat = jnp.transpose(votes, (0, 1, 3, 2)).reshape(b, n, _NUM_BINS * 2)
+    # a degenerate neighbourhood gives azimuth atan(0/0) = NaN (reference
+    # quirk, kept local by its gather); the multi-hot matmul would spread
+    # that NaN to EVERY point's sum (0 * NaN = NaN), so the fused path
+    # zeroes non-finite votes instead — the degenerate point simply
+    # contributes nothing (documented deviation; the XLA path keeps the
+    # reference's local-NaN behaviour)
+    vflat = jnp.where(jnp.isfinite(vflat), vflat, 0.0)
     hist = edge_sum_reduce(vflat, idx, k)                 # (B, N, 18)
     return _normalize_hist(hist.reshape(b, n, _NUM_BINS, 2))
 

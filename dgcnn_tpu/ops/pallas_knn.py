@@ -45,7 +45,7 @@ def _pick_tile(n: int) -> int:
     import os
 
     forced = os.environ.get("DGCNN_TPU_TILE")
-    if forced and n % int(forced) == 0:
+    if forced and forced.isdigit() and int(forced) > 0 and n % int(forced) == 0:
         return int(forced)
     for tile in (512, 256, 128):
         if n % tile == 0 and tile * n * 4 <= 2 * 1024 * 1024:
@@ -141,13 +141,11 @@ def _sel_dot(mask, parts, aux=None):
         return None, out
     if aux is None:
         return _onehot_dot(mask, parts, dims), None
-    first = parts[0]
-    if aux is not None:
-        first = jnp.concatenate([first, aux.astype(first.dtype)], axis=1)
+    first = jnp.concatenate([parts[0], aux.astype(parts[0].dtype)], axis=1)
     out = jax.lax.dot_general(mask, first, dimension_numbers=dims,
                               preferred_element_type=jnp.float32)
     co = parts[0].shape[1]
-    sel, auxout = (out[:, :co], out[:, co:]) if aux is not None else (out, None)
+    sel, auxout = out[:, :co], out[:, co:]
     for p in parts[1:]:
         sel = sel + jax.lax.dot_general(mask, p, dimension_numbers=dims,
                                         preferred_element_type=jnp.float32)
@@ -1112,7 +1110,6 @@ def _edge_sum_kernel(k, exact, idx_ref, a_ref, out_ref):
     shape (N=2048, k=32, Co=18)."""
     n = a_ref.shape[1]
     tile = idx_ref.shape[1]
-    co = a_ref.shape[2]
     col = jax.lax.broadcasted_iota(jnp.int32, (tile, n), 1)
     parts = _parts(a_ref[0], exact)
     idx = idx_ref[0]
@@ -1120,17 +1117,7 @@ def _edge_sum_kernel(k, exact, idx_ref, a_ref, out_ref):
     for t in range(k):
         oh = (col == idx[:, t:t + 1]).astype(jnp.bfloat16)
         mh = oh if mh is None else mh + oh
-    if len(parts) * co <= 128:
-        cat = jnp.concatenate(parts, axis=1)
-        sel = jax.lax.dot_general(
-            mh, cat, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        acc = sel[:, :co]
-        for p in range(1, len(parts)):
-            acc = acc + sel[:, p * co:(p + 1) * co]
-        out_ref[0] = acc
-    else:
-        out_ref[0] = _onehot_dot(mh, parts)
+    out_ref[0] = _onehot_dot(mh, parts)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "exact", "interpret"))

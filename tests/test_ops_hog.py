@@ -176,3 +176,25 @@ def test_hog_fused_matches_xla_path(monkeypatch):
     close = np.isclose(got, ref, rtol=1e-4, atol=1e-4)
     assert close.mean() > 0.999, close.mean()
     np.testing.assert_allclose(got, ref, rtol=0.1, atol=0.05)
+
+
+def test_hog_fused_off_origin_cloud(monkeypatch):
+    """The fused moment-form covariance centers the cloud first, so a
+    translated (far-from-origin) cloud keeps f32 accuracy.  Compare against
+    the XLA path on the same centered input (at |x| ~ 100 the f32 distance
+    resolution is ~2e-3, so kNN near-ties legitimately flip between raw and
+    centered coordinates — both are fp-correct neighbour sets)."""
+    import jax
+
+    from dgcnn_tpu.ops.hog import compute_hog
+
+    rng = np.random.RandomState(12)
+    xc = rng.randn(1, 128, 3).astype(np.float32)
+    x = jnp.asarray(xc + 100.0)
+    x_centered = jnp.asarray(xc + 100.0 - (xc + 100.0).mean(1, keepdims=True))
+    with jax.default_matmul_precision("float32"):
+        ref = np.asarray(compute_hog.__wrapped__(x_centered, 8))
+        monkeypatch.setenv("DGCNN_TPU_PALLAS", "1")
+        got = np.asarray(compute_hog.__wrapped__(x, 8))
+    close = np.isclose(got, ref, rtol=1e-3, atol=1e-3)
+    assert close.mean() > 0.99, close.mean()
