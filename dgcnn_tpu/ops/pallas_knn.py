@@ -228,6 +228,13 @@ def _scores(xq, xall, exact: bool = True):
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32,
         )
+    elif xq.dtype == jnp.bfloat16 and xall.dtype == jnp.bfloat16:
+        # inputs already bf16-rounded (bf16 inter-stage features): the
+        # low-order split parts are exactly zero — one pass IS bf16x3
+        inner = jax.lax.dot_general(
+            xq, xall, dimension_numbers=dims,
+            preferred_element_type=jnp.float32,
+        )
     else:
         qh = xq.astype(jnp.bfloat16)
         ql = (xq - qh.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -603,18 +610,27 @@ def _edge_conv1_kernel(k, slope, select_dtype, q_ref, x_ref, xf_ref, xq_ref,
         variant = "v1"  # f32 selection = exact mode: torch tie order too
     variant = _extract_version(variant, ("v1", "v3"))
 
+    xf = xf_ref[0]
+    xq = xq_ref[0]
+    if exact:
+        xf = xf.astype(jnp.float32)
+        xq = xq.astype(jnp.float32)
     scores = _scores(q_ref[0], x_ref[0], exact=exact)
     wn = wn_ref[:]
+    # bf16 inter-stage inputs (AMP path): matmul weights in bf16 too
+    wn_in = wn.astype(xf.dtype) if xf.dtype == jnp.bfloat16 else wn
+    wc_in = (wc_ref[:].astype(xq.dtype) if xq.dtype == jnp.bfloat16
+             else wc_ref[:])
     if select_x:
-        payload = xf_ref[0].astype(select_dtype)
+        payload = xf.astype(select_dtype)
     else:
         payload = jax.lax.dot_general(
-            xf_ref[0], wn,
+            xf, wn_in,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ).astype(select_dtype)
     b = jax.lax.dot_general(
-        xq_ref[0], wc_ref[:],
+        xq, wc_in,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -637,7 +653,7 @@ def _edge_conv1_kernel(k, slope, select_dtype, q_ref, x_ref, xf_ref, xq_ref,
         # max over k of s*(a_j + b) + t == s*(s>0 ? max_j a : min_j a + b) + t
         sel = jnp.where(s > 0, st[0], st[1]) + b
         y = sel * s + t
-        out_ref[0] = jnp.where(y >= 0, y, slope * y)
+        out_ref[0] = jnp.where(y >= 0, y, slope * y).astype(out_ref.dtype)
 
     _run_select(scores, k, n, (payload,), init, consume, finalize,
                 onehot_dtype=select_dtype, variant=variant)
@@ -703,7 +719,11 @@ def fused_edge_conv_eval(
         ],
         out_specs=pl.BlockSpec((1, tile, co), lambda bi, ti: (bi, ti, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n, co), jnp.float32),
+        # AMP path: bf16 stage outputs (halves inter-stage HBM; the next
+        # stage's bf16-input scores need only one matmul pass)
+        out_shape=jax.ShapeDtypeStruct(
+            (b, n, co),
+            jnp.float32 if select_dtype == jnp.float32 else jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_auto_interpret(interpret),
