@@ -32,7 +32,11 @@ from dgcnn_tpu.ops.graph import gather_neighbors
 
 
 def _project(x: jax.Array, w: jax.Array) -> jax.Array:
-    """(B, N, C) @ (C, Co) in f32 accumulation on the MXU."""
+    """(B, N, C) @ (C, Co) in f32 accumulation on the MXU (bf16 AMP
+    features take the weight down to bf16 — lax.dot_general requires
+    matching operand dtypes)."""
+    if x.dtype == jnp.bfloat16:
+        w = w.astype(jnp.bfloat16)
     return jax.lax.dot_general(
         x, w,
         dimension_numbers=(((2,), (0,)), ((), ())),

@@ -763,7 +763,7 @@ def _knn_edge2_kernel(k, slope, q_ref, x_ref, a1_ref, b1_ref, w2_ref,
         return jnp.maximum(st, h2)
 
     def finalize(st, idx):
-        out_ref[0] = st
+        out_ref[0] = st.astype(out_ref.dtype)
 
     c1 = a1.shape[1]
     variant = _extract_version(
@@ -836,7 +836,10 @@ def fused_knn_edge2(
         ],
         out_specs=pl.BlockSpec((1, tile, c2), lambda bi, ti: (bi, ti, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, n, c2), jnp.float32),
+        # AMP eval: bf16 stage outputs (see fused_edge_conv_eval)
+        out_shape=jax.ShapeDtypeStruct(
+            (b, n, c2),
+            jnp.float32 if _train_exact() else jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_auto_interpret(interpret),

@@ -12,6 +12,17 @@ import jax.numpy as jnp
 
 from tests.conftest import requires_reference
 
+
+@pytest.fixture(autouse=True)
+def _seed_torch():
+    """torch seeds its default generator from OS entropy, so unseeded
+    reference-module weights made these parity tests FLAKY near their
+    tolerances (observed: test_net_full_parity marginally exceeding 5e-4
+    on some process seeds).  Pin the draw."""
+    import torch
+
+    torch.manual_seed(0)
+
 B, N, K, EMB = 2, 32, 6, 32
 
 
