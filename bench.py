@@ -96,7 +96,38 @@ def model_flops_per_cloud(model: str, n: int, k: int) -> tuple[float, float]:
         alg += 2.0 * 2.0 * k * n * 64 * 64
         alg += 2.0 * n * (192 * 1024 + 1216 * 512 + 512 * 256 + 256 * 13)
         return mxu, alg
-    return 0.0, 0.0  # partseg fusion Net: attention-heavy, not counted
+    if model == "partseg":
+        # fusion Net at the bench config (emb=512, heads=2, blocks=2,
+        # ff=512); algorithmic counts exclude kNN selection matmuls
+        emb, ff, blocks = 512, 512, 2
+        bb_mxu = _edge_conv_flops(n, k, 3, [3, 64, 64, 128],
+                                  [64, 64, 128, 256])
+        bb_alg = _algorithmic_flops(n, k, [3, 64, 64, 128],
+                                    [64, 64, 128, 256])
+        conv5 = 2.0 * n * 512 * emb
+        # HOG: scores + moment selection (9 lanes) + multi-hot vote matmul
+        hog_sel = 2.0 * n * n * 3 + 2.0 * k * n * n * 9 + 2.0 * n * n * 18
+        hog_alg = 2.0 * n * k * (9 + 18)  # gathered sums a naive impl does
+        # TransformNet trunk: scores + selection + per-edge conv2 + pool
+        tn_sel = 2.0 * n * n * 3 + 2.0 * k * n * n * 64
+        tn_common = (2.0 * k * n * 64 * 128 + 2.0 * n * 128 * 1024
+                     + 2.0 * n * 2 * 3 * 64)
+        tn_alg = 2.0 * n * k * (6 * 64) + tn_common
+        grads_emb = 2.0 * n * (18 * 64 + 64 * 128 + 128 * 256 + 256 * emb)
+        pos_conv = 2.0 * n * 3 * emb
+        attn = 4.0 * 2.0 * n * emb * emb + 2.0 * 2.0 * n * n * emb
+        layer_ff = 2.0 * 2.0 * n * emb * ff
+        # transformer applied TWICE (swapped src/tgt): blocks enc (1 attn)
+        # + blocks dec (2 attn) + FFs, plus the final scoring attention
+        xf = 2.0 * (blocks * (attn + layer_ff) + blocks * (2 * attn + layer_ff))
+        xf += attn
+        head = 2.0 * n * ((emb + 64) * emb // 2 + emb // 2 * emb // 4
+                          + emb // 4 * emb // 8 + emb // 8 * 50)
+        common = (conv5 + grads_emb + pos_conv + xf + head + tn_common)
+        mxu = bb_mxu + hog_sel + tn_sel + common
+        alg = bb_alg + hog_alg + tn_alg + common - tn_common
+        return mxu, alg
+    return 0.0, 0.0
 
 
 def run_config(model_key: str) -> dict:
