@@ -203,12 +203,23 @@ class EdgeConv(nn.Module):
             )
             if self.pool and use_pallas(graph.shape[1]):
                 # fully fused Pallas path (both train and eval)
-                from dgcnn_tpu.ops.pallas_knn import knn_edge_reduce
+                from dgcnn_tpu.ops.pallas_knn import (
+                    knn_edge_reduce,
+                    knn_edge_reduce_xw,
+                )
 
                 if train:
-                    a = edge_conv._project(x, w_nbr)
                     b = edge_conv._project(x, w_ctr)
-                    _, amax, amin, asum, asumsq = knn_edge_reduce(graph, a, k)
+                    cin, co = w_nbr.shape
+                    if -(-cin // 128) < -(-co // 128):
+                        # select-x: raw features need fewer selection lanes
+                        # than the projection (e.g. the 128->256 stage)
+                        _, amax, amin, asum, asumsq = knn_edge_reduce_xw(
+                            graph, x, w_nbr, k)
+                    else:
+                        a = edge_conv._project(x, w_nbr)
+                        _, amax, amin, asum, asumsq = knn_edge_reduce(
+                            graph, a, k)
                     # BN stats of the virtual edge tensor from kernel sums
                     mean_ag = jnp.mean(asum, axis=(0, 1)) / k
                     mean = mean_ag + jnp.mean(b, axis=(0, 1))

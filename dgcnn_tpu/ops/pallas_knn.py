@@ -327,6 +327,119 @@ def _knn_reduce_kernel(k, select_dtype, with_sumsq, q_ref, x_ref, a_ref,
                 onehot_dtype=jnp.bfloat16)
 
 
+def _knn_reduce_xw_kernel(k, select_dtype, with_sumsq, q_ref, x_ref, xf_ref,
+                          w_ref, idx_ref, amax_ref, amin_ref, asum_ref,
+                          *maybe_sq_ref):
+    """select-x variant of _knn_reduce_kernel: selects the RAW features
+    (Cin lanes) and projects each selection with ``w`` before the
+    reductions — identical outputs (selection commutes with the linear
+    map; squares taken after projection), half the selection-matmul lanes
+    whenever ceil(Cin/128) < ceil(Co/128) (the training-path analogue of
+    _edge_conv1_kernel's select-x mode)."""
+    n = x_ref.shape[1]
+    co = w_ref.shape[1]
+    tile = q_ref.shape[1]
+    # scores stay HIGHEST: training also keeps torch-exact neighbour sets
+    scores = _scores(q_ref[0], x_ref[0])
+    a_parts = _parts(xf_ref[0], select_dtype == jnp.float32)
+    w = w_ref[:]
+
+    init = (
+        jnp.full((tile, co), -jnp.inf, jnp.float32),
+        jnp.full((tile, co), jnp.inf, jnp.float32),
+        jnp.zeros((tile, co), jnp.float32),
+        jnp.zeros((tile, co), jnp.float32),
+    )
+
+    def consume(st, sel_x, t):
+        sel = jax.lax.dot_general(
+            sel_x, w,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if select_dtype != jnp.float32:
+            # AMP: keep the reduced values bf16-representable so the
+            # backward kernel's re-extraction of bf16(x @ w) rows finds
+            # the exact same max/min values (tie detection sel == amax)
+            sel = sel.astype(jnp.bfloat16).astype(jnp.float32)
+        amax, amin, asum, asq = st
+        return (jnp.maximum(amax, sel), jnp.minimum(amin, sel), asum + sel,
+                asq + jnp.square(sel) if with_sumsq else asq)
+
+    def finalize(st, idx):
+        amax, amin, asum, asq = st
+        idx_ref[0] = idx
+        amax_ref[0] = amax
+        amin_ref[0] = amin
+        asum_ref[0] = asum
+        if with_sumsq:
+            maybe_sq_ref[0][0] = asq
+
+    _run_select(scores, k, n, a_parts, init, consume, finalize,
+                onehot_dtype=jnp.bfloat16)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "select_dtype", "interpret", "with_sumsq")
+)
+def fused_knn_reduce_xw(
+    x: jax.Array,
+    xf: jax.Array,
+    w: jax.Array,
+    k: int,
+    *,
+    select_dtype=jnp.bfloat16,
+    interpret: bool | None = None,
+    with_sumsq: bool = False,
+):
+    """fused_knn_reduce over the virtual projection ``a = xf @ w`` without
+    materializing it in the selection: raw rows are selected (Cin lanes)
+    and projected per selection.  Same outputs/contract as
+    ``fused_knn_reduce(x, xf @ w, k, ...)``."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, c = x.shape
+    cin = xf.shape[2]
+    co = w.shape[1]
+    assert _supported(n), f"N={n} must be a multiple of {TILE_N}"
+    tile = _pick_tile(n)
+
+    kernel = functools.partial(_knn_reduce_xw_kernel, k, select_dtype,
+                               with_sumsq)
+    red = jax.ShapeDtypeStruct((b, n, co), jnp.float32)
+    red_spec = pl.BlockSpec((1, tile, co), lambda bi, ti: (bi, ti, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((b, n, k), jnp.int32), red, red, red]
+    out_specs = [
+        pl.BlockSpec((1, tile, k), lambda bi, ti: (bi, ti, 0),
+                     memory_space=pltpu.VMEM),
+        red_spec, red_spec, red_spec,
+    ]
+    if with_sumsq:
+        out_shape.append(red)
+        out_specs.append(red_spec)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, c), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, cin), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cin, co), lambda bi, ti: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_auto_interpret(interpret),
+    )(x, x, xf, w)
+
+
 def _train_exact() -> bool:
     """Training selection precision: bf16 single-pass by default (AMP-style,
     mirroring the reference's fp16 autocast training,
@@ -577,6 +690,47 @@ def _ker_bwd(k, exact, res, cts):
 
 
 _knn_edge_reduce.defvjp(_ker_fwd, _ker_bwd)
+
+
+def knn_edge_reduce_xw(xg: jax.Array, x: jax.Array, w: jax.Array, k: int):
+    """Differentiable select-x form of knn_edge_reduce: same outputs as
+    ``knn_edge_reduce(xg, x @ w, k)`` but the selection runs over the raw
+    Cin-lane features (use when ceil(Cin/128) < ceil(Co/128) — e.g. the
+    128->256 stage).  Backward recomputes the projection and chains the
+    no-gather Pallas scatter through it (d_x = d_a w^T, d_w = x^T d_a)."""
+    return _knn_edge_reduce_xw(xg, x, w, k, _train_exact())
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _knn_edge_reduce_xw(xg, x, w, k, exact):
+    dt = jnp.float32 if exact else jnp.bfloat16
+    return fused_knn_reduce_xw(xg, x, w, k, select_dtype=dt,
+                               with_sumsq=True)
+
+
+def _ker_xw_fwd(xg, x, w, k, exact):
+    out = _knn_edge_reduce_xw(xg, x, w, k, exact)
+    idx, amax, amin = out[0], out[1], out[2]
+    return out, (xg, x, w, idx, amax, amin)
+
+
+def _ker_xw_bwd(k, exact, res, cts):
+    from dgcnn_tpu.ops.edge_conv import _project
+
+    xg, x, w, idx, amax, amin = res
+    _, ct_max, ct_min, ct_sum, ct_sumsq = cts
+    # recompute the projection the forward never materialized; the scatter
+    # kernel's tie detection (sel == amax) matches because both sides are
+    # the same rounded row dot
+    a = _project(x, w)
+    da = edge_reduce_bwd(idx, a, amax, amin, ct_max, ct_min, ct_sum,
+                         ct_sumsq, k, exact=exact)
+    dx = jnp.einsum("bno,co->bnc", da, w)
+    dw = jnp.einsum("bnc,bno->co", x, da)
+    return jnp.zeros_like(xg), dx, dw
+
+
+_knn_edge_reduce_xw.defvjp(_ker_xw_fwd, _ker_xw_bwd)
 
 
 def _edge_conv1_kernel(k, slope, select_dtype, q_ref, x_ref, xf_ref, xq_ref,

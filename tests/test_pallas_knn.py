@@ -171,3 +171,39 @@ def test_eval_stage_v3_duplicate_points_exact(monkeypatch):
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(got[:, 64:]), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_knn_edge_reduce_xw_matches_projected(monkeypatch):
+    """Select-x training form == projecting first, outputs and gradients
+    (exact mode: the selection commutes with the linear map bitwise)."""
+    monkeypatch.setenv("DGCNN_TPU_PALLAS_EXACT", "1")
+    from dgcnn_tpu.ops.pallas_knn import knn_edge_reduce, knn_edge_reduce_xw
+
+    rng = np.random.RandomState(8)
+    xg = jnp.asarray(rng.randn(2, 128, 3).astype(np.float32))
+    x = jnp.asarray(rng.randn(2, 128, 16).astype(np.float32))
+    w = jnp.asarray(rng.randn(16, 24).astype(np.float32) * 0.3)
+    k = 6
+
+    with jax.default_matmul_precision("float32"):
+        ref = knn_edge_reduce(xg, x @ w, k)
+        got = knn_edge_reduce_xw(xg, x, w, k)
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=1e-5, atol=1e-6)
+
+        def loss_ref(x_, w_):
+            out = knn_edge_reduce(xg, x_ @ w_, k)
+            return sum(jnp.sum(jnp.square(o)) for o in out[1:])
+
+        def loss_xw(x_, w_):
+            out = knn_edge_reduce_xw(xg, x_, w_, k)
+            return sum(jnp.sum(jnp.square(o)) for o in out[1:])
+
+        gr = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+        gx = jax.grad(loss_xw, argnums=(0, 1))(x, w)
+    # grads chain through different contraction orders (dw einsum vs
+    # autodiff of x @ w) — fp accumulation noise on large sums
+    for a, b_ in zip(gr, gx):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=5e-4, atol=1e-3)
