@@ -162,10 +162,11 @@ def run_config(model_key: str) -> dict:
         from dgcnn_tpu.models import DGCNNSemSeg
 
         # Honest semseg input: S3DIS blocks are sampled with replacement, so
-        # ~1/4 of rows are duplicates; pin the exact extraction the semseg
-        # CLI defaults to for such data (cli/semseg.py).  An explicit user
-        # DGCNN_TPU_EXTRACT wins; restored by main() after this config.
-        os.environ.setdefault("DGCNN_TPU_EXTRACT", "v1")
+        # ~1/4 of rows are duplicates; pin the packed member-exact
+        # extraction the semseg CLI defaults to for such data
+        # (cli/semseg.py).  An explicit user DGCNN_TPU_EXTRACT wins;
+        # restored by main() after this config.
+        os.environ.setdefault("DGCNN_TPU_EXTRACT", "v2")
         model = DGCNNSemSeg(emb_dims=1024, k=k)
         pts = rng.rand(BATCH, num_points, 9).astype(np.float32)
         dup = num_points // 4
@@ -232,7 +233,18 @@ def main() -> None:
     had_extract = os.environ.get("DGCNN_TPU_EXTRACT")
     for key in configs:
         try:
-            print(json.dumps(run_config(key)), flush=True)
+            result = run_config(key)
+            if "--parity" in sys.argv:
+                # exact-vs-AMP drift gate (tools/parity_drift.py): proves
+                # the AMP headline path preserves predictions
+                sys.path.insert(0, os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "tools"))
+                import parity_drift
+
+                d = parity_drift.measure(key, BATCH)
+                result["amp_argmax_agreement"] = d["argmax_agreement"]
+                result["amp_max_abs_logit_delta"] = d["max_abs_logit_delta"]
+            print(json.dumps(result), flush=True)
         finally:
             # run_config("semseg") pins the extraction variant; restore so
             # later configs (reordered lists, repeated calls) are unaffected

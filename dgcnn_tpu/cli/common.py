@@ -31,8 +31,10 @@ def add_runtime_flags(parser: argparse.ArgumentParser) -> None:
              "FLOPs for activation memory on large N")
     parser.add_argument(
         "--orbax", type=str2bool, default=False,
-        help="use orbax for the train/resume checkpoint format (partseg "
-             "trainer; other entry points keep msgpack best-model files)")
+        help="use orbax for the partseg trainer's checkpoints — both the "
+             "periodic resume checkpoint and the best-model save (cls/"
+             "semseg keep bare .t7.msgpack model files, mirroring the "
+             "reference's bare state_dict saves there)")
 
 
 def apply_runtime_flags(args) -> None:

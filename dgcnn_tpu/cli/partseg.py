@@ -197,8 +197,13 @@ def train(args, io: IOStream):
         )
         if np.mean(ious) >= best_test_iou:
             best_test_iou = float(np.mean(ious))
-            save_train_checkpoint(
-                f"outputs/{args.exp_name}/models/transformer_{epoch}.checkpoint",
+            # best-model save follows the same format flag as the periodic
+            # checkpoint: --orbax routes BOTH through orbax (reference
+            # naming models/transformer_<epoch>.checkpoint either way,
+            # main_partseg_dist.py:364-380)
+            best_ext = "orbax" if use_orbax else "checkpoint"
+            save_ckpt(
+                f"outputs/{args.exp_name}/models/transformer_{epoch}.{best_ext}",
                 state, epoch, meter.mean_loss)
         save_ckpt(ckpt_path, state, epoch, meter.mean_loss)
 
@@ -246,6 +251,11 @@ def test(args, io: IOStream):
 def load_variables_any(path: str, args):
     if path.endswith(".msgpack"):
         return load_model(path)
+    if os.path.isdir(path):
+        # --orbax best-model saves are checkpoint directories
+        from dgcnn_tpu.train.checkpoint import load_orbax_variables
+
+        return load_orbax_variables(path)
     from dgcnn_tpu.train.checkpoint import (
         is_torch_checkpoint,
         load_train_variables,
@@ -303,8 +313,9 @@ def build_parser(dist: bool = False) -> argparse.ArgumentParser:
     parser.add_argument("--nclasses", type=int, default=50)
     parser.add_argument("--dropout", type=float, default=0.5)
     parser.add_argument("--emb_dim", type=int, default=512, metavar="N")
-    parser.add_argument("--k", type=int, default=20 if not dist else 32,
-                        metavar="N")
+    # both parsers default k=20 like the reference (main_partseg.py:268,
+    # main_partseg_dist.py:550 — the dist run.sh passes --k 32 explicitly)
+    parser.add_argument("--k", type=int, default=20, metavar="N")
     parser.add_argument("--model_path", type=str,
                         default="models/transformer.pt", metavar="N")
     parser.add_argument("--visu", type=str, default="")

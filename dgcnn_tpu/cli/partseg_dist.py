@@ -26,8 +26,9 @@ from dgcnn_tpu.utils import IOStream, enable_compilation_cache
 
 def build_parser():
     # same surface as the single-process CLI with the dist defaults
-    # (reference main_partseg_dist.py:536-541: n_heads 4, k 32, batch 24,
-    # AdamW path, OneCycle per batch)
+    # (reference main_partseg_dist.py:536-541: n_heads 4, batch 24,
+    # AdamW path, OneCycle per batch; k defaults to 20 in BOTH reference
+    # parsers — run.sh passes --k 32 explicitly)
     return partseg.build_parser(dist=True)
 
 

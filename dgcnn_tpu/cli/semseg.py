@@ -285,14 +285,17 @@ def main(argv=None):
     np.random.seed(args.seed)
     # S3DIS blocks are sampled with replacement (ETL prepare/indoor3d.py,
     # like reference indoor3d_util.py:176), so clouds carry duplicated
-    # points: pin the exact member-by-member extraction (v1) so
+    # points: pin the packed member-by-member extraction (v2) so
     # neighbourhoods keep the reference's duplicate-filled top-k semantics
-    # instead of v3's class-walk (ops/pallas_knn._extract_loop_v3
-    # docstring).  Read at trace time; explicit user env wins; scoped to
-    # this entry point (restored on return) so importing/looping over CLIs
-    # in one process does not pin other models' kernels.
+    # — bit-equal duplicate scores resolve by lowest index, exactly like
+    # torch — instead of v3's class-walk averaging
+    # (ops/pallas_knn._pack_keys / _extract_loop_v3 docstrings).  v2 runs
+    # at v3's per-iteration cost (one reduce), unlike r2's v1 pin.
+    # Read at trace time; explicit user env wins; scoped to this entry
+    # point (restored on return) so importing/looping over CLIs in one
+    # process does not pin other models' kernels.
     had = "DGCNN_TPU_EXTRACT" in os.environ
-    os.environ.setdefault("DGCNN_TPU_EXTRACT", "v1")
+    os.environ.setdefault("DGCNN_TPU_EXTRACT", "v2")
     try:
         if not args.eval:
             train(args, io)

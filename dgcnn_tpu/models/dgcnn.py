@@ -355,8 +355,6 @@ class DGCNNSemSeg(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        from dgcnn_tpu.ops.graph import edge_features
-
         ax = self.axis_name
         b, n, _ = x.shape
         # first graph: neighbours by normalized room coords (channels 6:9)

@@ -11,13 +11,15 @@ it selects each neighbour's projected features with a one-hot (TILE_N, N) x
 fly.  The (B, N, k, C) edge tensor never exists anywhere, and the only HBM
 traffic is x, a in and (idx, reductions) out.
 
-Numerics: index-emitting kernels (knn_only, knn_reduce) compute scores at
-HIGHEST (f32-exact) and extract with the exact v1 loop, so neighbour sets
-AND tie order match the XLA/torch reference exactly (torch.topk: lowest
-index among ties).  The eval-only kernels default to an AMP-style mode —
-bf16 feature selection, 3-pass bf16x3 scores, v3 class-walk extraction
-(tied candidates averaged) — and switch to the exact path under
-DGCNN_TPU_PALLAS_EXACT=1 / f32 select_dtype for bit-level parity.
+Numerics: with f32 ``select_dtype`` (parity tests, HOG covariance) or
+DGCNN_TPU_PALLAS_EXACT=1, kernels compute scores at HIGHEST (f32-exact)
+and extract with the exact v1 loop, so neighbour sets AND tie order match
+the XLA/torch reference exactly (torch.topk: lowest index among ties).
+The default is an AMP-style mode mirroring the reference's fp16 autocast
+training (main_partseg_dist.py:221): bf16 feature selection, 3-pass
+bf16x3 scores, and the packed single-reduce v2 extraction (_pack_keys —
+torch tie order on bit-equal scores, index-emitting) or the v3 class-walk
+(eval-only kernels whose payload width leaves a free count lane).
 """
 from __future__ import annotations
 
@@ -76,6 +78,61 @@ def _extract_loop_v1(scores, k, n, payload_fn, onehot_dtype=jnp.float32):
         if t + 1 < k:
             scores = jnp.where(sel_mask, -jnp.inf, scores)
     return jnp.concatenate(idx_cols, axis=1).astype(jnp.int32)
+
+
+def _index_bits(n: int) -> int:
+    return max((n - 1).bit_length(), 1)
+
+
+def _pack_keys(scores, n):
+    """Pack each f32 score row into monotonic int32 keys whose low
+    ``_index_bits(n)`` bits carry the NEGATED column index, so that a single
+    integer max-reduce yields the (score, lowest-index-among-ties) winner —
+    the torch.topk tie rule (reference models/dgcnn.py:12) — in one pass.
+
+    32 bits cannot hold a full f32 score plus an index, so the score is
+    quantized to a per-row fixed-point grid: q = round(s * (2^(31-b)-1) /
+    |min_row|), b = _index_bits(n).  The quantization step is
+    |min_row| * 2^-(31-b) — within ~2x of the f32 rounding noise the
+    score computation itself carries (the 2x'tx - |x|^2 - |x|^2T form
+    loses ~2^-23 * scale to cancellation), so v2 deviates from exact f32
+    ordering only where the reference's own arithmetic is already
+    noise-dominated.  BIT-EQUAL scores (duplicated points — the S3DIS
+    case) quantize equal and resolve by lowest index, exactly like torch.
+
+    Key layout: q * 2^b + (n-1-col); q in [-(2^(31-b)-1), 0] keeps the sum
+    within int32, and the masked rewrite value INT32_MIN stays strictly
+    below every real key.  Rows with all-zero scores (fully degenerate
+    clouds) get scale 0 and walk columns in index order — torch's order
+    for an all-tied row.
+    """
+    b = _index_bits(n)
+    col = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    rmin = jnp.min(scores, axis=1, keepdims=True)
+    lim = float(2 ** (31 - b) - 1)
+    scale = jnp.where(rmin < 0, -lim / rmin, 0.0)
+    q = jnp.round(scores * scale).astype(jnp.int32)
+    return q * jnp.int32(2 ** b) + (jnp.int32(n - 1) - col)
+
+
+def _extract_loop_v2(scores, k, n, payload_fn, onehot_dtype=jnp.float32):
+    """Single-reduce packed extraction (see _pack_keys): per iteration ONE
+    integer max-reduce, one compare (the guaranteed-single-hot selection
+    mask — keys are unique by construction) and one masked rewrite — v3's
+    per-iteration cost WITH a per-member index stream, so index-emitting
+    kernels (training, semseg) can run it.  Same payload/return contract
+    as _extract_loop_v1."""
+    mask = jnp.int32(2 ** _index_bits(n) - 1)
+    keys = _pack_keys(scores, n)
+    idx_cols = []
+    for t in range(k):
+        m = jnp.max(keys, axis=1, keepdims=True)
+        sel_mask = keys == m
+        payload_fn(sel_mask.astype(onehot_dtype), t)
+        idx_cols.append(jnp.int32(n - 1) - (m & mask))
+        if t + 1 < k:
+            keys = jnp.where(sel_mask, jnp.iinfo(jnp.int32).min, keys)
+    return jnp.concatenate(idx_cols, axis=1)
 
 
 def _extract_loop_v3(scores, k, n, a_parts, state, consume_fn, onehot_dtype):
@@ -158,8 +215,9 @@ def _extract_version(default: str, allow: tuple[str, ...]) -> str:
     in ``allow`` for this kernel; else v1 whenever exact mode
     (DGCNN_TPU_PALLAS_EXACT) is on — bit-level parity includes torch's
     member-by-member tie order; else ``default``.  Kernels that output
-    neighbour indices only allow v1 (v3 walks tied classes and has no
-    per-member index stream)."""
+    neighbour indices allow v1 (exact) and v2 (packed single-reduce, torch
+    tie order on bit-equal scores); v3 walks tied classes and has no
+    per-member index stream, so only non-index kernels allow it."""
     import os
 
     env = os.environ.get("DGCNN_TPU_EXTRACT")
@@ -174,17 +232,21 @@ def select_x_plan(cin: int, co: int) -> tuple[bool, str]:
     """The eval EdgeConv selection plan for payload widths (Cin raw, Co
     projected): (select_x, variant).  select-x selects raw features and
     projects per selection; it pays only when it removes a whole 128-lane
-    selection pass or unlocks the v3 loop (measured — see
-    _edge_conv1_kernel docstring).  bench.py's FLOPs model imports this so
-    the reported MFU tracks the implementation."""
+    selection pass (measured — see _edge_conv1_kernel docstring).  Payload
+    widths with lane padding left take v3 (its count lane rides the
+    padding); exact multiples of 128 take v2, whose packed extraction
+    needs no count lane (r2's v1 fallback is gone — v2 matches v3's
+    per-iteration cost).  Since v2 ~= v3 in cost, equal-pass shapes stay
+    project-first (no per-selection projection matmuls).  bench.py's FLOPs
+    model imports this so the reported MFU tracks the implementation."""
 
     def lane_plan(width):
-        v = "v3" if width % 128 else "v1"
+        v = "v3" if width % 128 else "v2"
         return v, -(-(width + (v == "v3")) // 128)
 
     va, pa = lane_plan(co)
     vb, pb = lane_plan(cin)
-    select_x = pb < pa or (pb == pa and vb == "v3" and va == "v1")
+    select_x = pb < pa
     return select_x, (vb if select_x else va)
 
 
@@ -194,8 +256,9 @@ def _run_select(scores, k, n, a_parts, init_state, consume_fn, finalize_fn,
     folds the payload's selected features ``sel = onehot @ sum(a_parts)``
     through ``state = consume_fn(state, sel, t)`` and hands the final state
     to ``finalize_fn(state, idx)``.  variant v1 = exact torch.topk order
-    (idx (TILE, k) int32); v3 = fast class-walk (idx is None — only valid
-    for kernels that do not output indices)."""
+    (idx (TILE, k) int32); v2 = packed single-reduce (idx emitted, torch
+    tie order on bit-equal scores — see _pack_keys); v3 = fast class-walk
+    (idx is None — only valid for kernels that do not output indices)."""
     if variant == "v3":
         st = _extract_loop_v3(scores, k, n, a_parts, init_state, consume_fn,
                               onehot_dtype)
@@ -209,7 +272,8 @@ def _run_select(scores, k, n, a_parts, init_state, consume_fn, finalize_fn,
             sel, _ = _sel_dot(onehot, a_parts)
             box["s"] = consume_fn(box["s"], sel, t)
 
-    idx = _extract_loop_v1(scores, k, n, payload, onehot_dtype)
+    loop = _extract_loop_v2 if variant == "v2" else _extract_loop_v1
+    idx = loop(scores, k, n, payload, onehot_dtype)
     finalize_fn(box["s"], idx)
 
 
@@ -296,10 +360,16 @@ def _knn_reduce_kernel(k, select_dtype, with_sumsq, q_ref, x_ref, a_ref,
     n = x_ref.shape[1]
     co = a_ref.shape[2]
     tile = q_ref.shape[1]
-    scores = _scores(q_ref[0], x_ref[0])
-    # f32 mode: exact selection via the 3-way split; bf16 mode: single-pass
-    # (feature values bf16-rounded — fine for inference, argmax-stable)
-    a_parts = (_split3(a_ref[0]) if select_dtype == jnp.float32
+    # f32 select = the exact contract (parity tests, HOG covariance):
+    # HIGHEST 6-pass scores + v1 torch-order extraction + 3-way-split
+    # selection.  bf16 select = the AMP/training default, mirroring the
+    # reference's fp16 autocast training (main_partseg_dist.py:221):
+    # 3-pass bf16x3 scores + packed v2 extraction + single-pass selection
+    # (feature values bf16-rounded — argmax-stable).
+    exact = select_dtype == jnp.float32
+    scores = _scores(q_ref[0], x_ref[0], exact=exact)
+    variant = _extract_version("v1" if exact else "v2", ("v1", "v2"))
+    a_parts = (_split3(a_ref[0]) if exact
                else (a_ref[0].astype(jnp.bfloat16),))
 
     init = (
@@ -324,7 +394,7 @@ def _knn_reduce_kernel(k, select_dtype, with_sumsq, q_ref, x_ref, a_ref,
             maybe_sq_ref[0][0] = asq
 
     _run_select(scores, k, n, a_parts, init, consume, finalize,
-                onehot_dtype=jnp.bfloat16)
+                onehot_dtype=jnp.bfloat16, variant=variant)
 
 
 def _knn_reduce_xw_kernel(k, select_dtype, with_sumsq, q_ref, x_ref, xf_ref,
@@ -335,13 +405,15 @@ def _knn_reduce_xw_kernel(k, select_dtype, with_sumsq, q_ref, x_ref, xf_ref,
     reductions — identical outputs (selection commutes with the linear
     map; squares taken after projection), half the selection-matmul lanes
     whenever ceil(Cin/128) < ceil(Co/128) (the training-path analogue of
-    _edge_conv1_kernel's select-x mode)."""
+    _edge_conv1_kernel's select-x mode).  Score/extraction precision keys
+    off select_dtype like _knn_reduce_kernel (exact f32 vs AMP bf16x3+v2)."""
     n = x_ref.shape[1]
     co = w_ref.shape[1]
     tile = q_ref.shape[1]
-    # scores stay HIGHEST: training also keeps torch-exact neighbour sets
-    scores = _scores(q_ref[0], x_ref[0])
-    a_parts = _parts(xf_ref[0], select_dtype == jnp.float32)
+    exact = select_dtype == jnp.float32
+    scores = _scores(q_ref[0], x_ref[0], exact=exact)
+    variant = _extract_version("v1" if exact else "v2", ("v1", "v2"))
+    a_parts = _parts(xf_ref[0], exact)
     w = w_ref[:]
 
     init = (
@@ -376,7 +448,7 @@ def _knn_reduce_xw_kernel(k, select_dtype, with_sumsq, q_ref, x_ref, xf_ref,
             maybe_sq_ref[0][0] = asq
 
     _run_select(scores, k, n, a_parts, init, consume, finalize,
-                onehot_dtype=jnp.bfloat16)
+                onehot_dtype=jnp.bfloat16, variant=variant)
 
 
 @functools.partial(
@@ -544,10 +616,13 @@ def knn_edge_reduce(xg: jax.Array, a: jax.Array, k: int):
     """Differentiable fused kNN + reductions for the training path.
 
     Forward = the Pallas kernel (with sum-of-squares for BN statistics);
-    backward = the no-gather Pallas scatter kernel.  Selection precision
-    follows _train_exact(): bf16 AMP-style by default, exact f32 under
-    DGCNN_TPU_PALLAS_EXACT=1 (neighbour indices are non-differentiable
-    either way, like torch.topk).
+    backward = the no-gather Pallas scatter kernel.  Precision follows
+    _train_exact(): the default is AMP-style — bf16 selection, 3-pass
+    bf16x3 scores, packed v2 extraction — mirroring the reference, which
+    TRAINS under fp16 autocast (main_partseg_dist.py:221), so its training
+    neighbour sets are half-precision too; DGCNN_TPU_PALLAS_EXACT=1 forces
+    exact f32 selection + HIGHEST scores + v1 torch-order extraction
+    (neighbour indices are non-differentiable either way, like torch.topk).
 
     Returns (idx, amax, amin, asum, asumsq).
     """
@@ -762,7 +837,7 @@ def _edge_conv1_kernel(k, slope, select_dtype, q_ref, x_ref, xf_ref, xq_ref,
     select_x, variant = select_x_plan(cin, co)
     if exact:
         variant = "v1"  # f32 selection = exact mode: torch tie order too
-    variant = _extract_version(variant, ("v1", "v3"))
+    variant = _extract_version(variant, ("v1", "v2", "v3"))
 
     xf = xf_ref[0]
     xq = xq_ref[0]
@@ -921,7 +996,8 @@ def _knn_edge2_kernel(k, slope, q_ref, x_ref, a1_ref, b1_ref, w2_ref,
 
     c1 = a1.shape[1]
     variant = _extract_version(
-        "v1" if (_train_exact() or c1 % 128 == 0) else "v3", ("v1", "v3"))
+        "v1" if _train_exact() else ("v2" if c1 % 128 == 0 else "v3"),
+        ("v1", "v2", "v3"))
     _run_select(scores, k, n, (a1,), init, consume, finalize,
                 onehot_dtype=jnp.float32, variant=variant)
 
@@ -1346,11 +1422,14 @@ def edge_sum_reduce(
 
 
 def _knn_only_kernel(k, q_ref, x_ref, idx_ref):
+    # the drop-in knn() contract stays torch-exact by default (HIGHEST
+    # scores + v1); DGCNN_TPU_EXTRACT=v2 opts into the packed loop
     n = x_ref.shape[1]
     scores = _scores(q_ref[0], x_ref[0])
     _run_select(scores, k, n, (), None, None,
                 lambda st, idx: idx_ref.__setitem__(0, idx),
-                onehot_dtype=jnp.float32)
+                onehot_dtype=jnp.float32,
+                variant=_extract_version("v1", ("v1", "v2")))
 
 
 @functools.partial(jax.jit, static_argnames=("k", "interpret"))

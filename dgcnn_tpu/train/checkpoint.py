@@ -109,6 +109,18 @@ def save_orbax(path: str, state, epoch: int, loss: float) -> None:
         ckptr.save(os.path.abspath(path), payload, force=True)
 
 
+def load_orbax_variables(path: str) -> dict:
+    """Eval-side restore of an orbax checkpoint dir: just
+    {"params", "batch_stats"} (the orbax analogue of
+    ``load_train_variables``)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.PyTreeCheckpointer() as ckptr:
+        payload = ckptr.restore(os.path.abspath(path))
+    return {"params": payload["params"],
+            "batch_stats": payload["batch_stats"]}
+
+
 def load_orbax(path: str, state) -> Tuple[Any, int, float]:
     import orbax.checkpoint as ocp
 

@@ -220,9 +220,18 @@ def test_partseg_orbax_remat_flags(data_env):
     assert os.path.isdir("outputs/smoke_orbax/checkpoints/ckpt.orbax")
     assert not os.path.exists(
         "outputs/smoke_orbax/checkpoints/ckpt.checkpoint")
+    # --orbax also routes the best-model save through orbax (a dir, not a
+    # msgpack .checkpoint file), and eval can load it back
+    best = [f for f in os.listdir("outputs/smoke_orbax/models")
+            if f.startswith("transformer_")]
+    assert best and all(f.endswith(".orbax") for f in best)
+    assert os.path.isdir(f"outputs/smoke_orbax/models/{best[0]}")
     partseg.main(argv + ["--resume=True"])
     log = open("outputs/smoke_orbax/run.log").read()
     assert "Resumed from" in log
+    partseg.main(argv + ["--eval=True",
+                         f"--model_path=models/{best[0]}"])
+    assert "Test: test acc" in open("outputs/smoke_orbax/run.log").read()
 
 
 def test_eval_loss_invariant_to_padding():

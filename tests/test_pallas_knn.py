@@ -94,8 +94,8 @@ def test_pallas_backward_matches_xla_with_ties():
 def test_tie_parity_exact_v1():
     """The exact (v1) extraction on tie-heavy clouds (every point duplicated
     4x -> distance ties in every row) matches lax.top_k's lowest-index tie
-    order.  Index-emitting kernels always run v1 regardless of
-    DGCNN_TPU_EXTRACT (v3 has no per-member index stream)."""
+    order.  f32 select_dtype pins the exact path (HIGHEST scores + v1);
+    the bf16 default runs the packed v2 loop (tests/test_pallas_v2.py)."""
     rng = np.random.RandomState(5)
     xn = rng.randn(1, 128, 4).astype(np.float32)
     xn[0, 32:64] = xn[0, 0:32]

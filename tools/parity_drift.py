@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Exact-vs-AMP eval accuracy-drift gate.
+
+The throughput headline rides AMP approximations — bf16x3 3-pass distance
+scores, packed-v2 / class-walk-v3 extraction, bf16 feature selection and
+bf16 inter-stage activations (ops/pallas_knn.py) — whose neighbour
+semantics differ slightly from the exact torch-parity path.  This tool
+quantifies that drift at bench scale: the SAME batch and weights run
+through the default AMP path and the exact path
+(``DGCNN_TPU_PALLAS_EXACT=1``), each in its own subprocess (trace-time env
+flags; see tools/_drift_child.py), and the report gates on prediction
+agreement.
+
+Drift semantics match the reference's own numerics: the reference TRAINS
+under fp16 autocast (main_partseg_dist.py:221) and its f32 score form
+(-2 x'x + |x|^2 + |x|^2', models/dgcnn.py:6-12) already carries ~2^-22
+relative cancellation noise, the same error class the AMP path introduces.
+
+Usage: python tools/parity_drift.py [--model cls|partseg|semseg|all]
+       [--gate 0.995] [--batch 64] [--json]
+Prints one JSON line per model; exits 1 if any agreement < gate.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CHILD = os.path.join(ROOT, "tools", "_drift_child.py")
+
+
+def run_mode(model: str, out: str, exact: bool, batch: int) -> None:
+    env = dict(os.environ)
+    if exact:
+        env["DGCNN_TPU_PALLAS_EXACT"] = "1"
+        env.pop("DGCNN_TPU_EXTRACT", None)
+    else:
+        env.pop("DGCNN_TPU_PALLAS_EXACT", None)
+        if model == "semseg":
+            # the semseg CLI's duplicate-safe pin (cli/semseg.py)
+            env.setdefault("DGCNN_TPU_EXTRACT", "v2")
+    subprocess.run(
+        [sys.executable, CHILD, model, out, f"--batch={batch}"],
+        env=env, check=True, cwd=ROOT)
+
+
+def measure(model: str, batch: int) -> dict:
+    with tempfile.TemporaryDirectory() as td:
+        amp_path = os.path.join(td, "amp.npy")
+        exact_path = os.path.join(td, "exact.npy")
+        run_mode(model, amp_path, exact=False, batch=batch)
+        run_mode(model, exact_path, exact=True, batch=batch)
+        amp = np.load(amp_path)
+        exact = np.load(exact_path)
+    # cls logits are (B, 40); seg logits (B, N, C): argmax over the last axis
+    pred_amp = amp.argmax(-1)
+    pred_exact = exact.argmax(-1)
+    agree = float((pred_amp == pred_exact).mean())
+    return {
+        "model": model,
+        "argmax_agreement": round(agree, 6),
+        "n_predictions": int(pred_amp.size),
+        "max_abs_logit_delta": round(float(np.abs(amp - exact).max()), 5),
+        "mean_abs_logit_delta": round(float(np.abs(amp - exact).mean()), 6),
+        "logit_scale": round(float(np.abs(exact).mean()), 4),
+    }
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="cls",
+                   choices=["cls", "partseg", "semseg", "all"])
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--gate", type=float, default=0.995)
+    args = p.parse_args()
+
+    models = (["cls", "partseg", "semseg"] if args.model == "all"
+              else [args.model])
+    ok = True
+    for m in models:
+        r = measure(m, args.batch)
+        r["gate"] = args.gate
+        r["pass"] = r["argmax_agreement"] >= args.gate
+        ok = ok and r["pass"]
+        print(json.dumps(r), flush=True)
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,9 +1,10 @@
 #!/usr/bin/env python
 """Micro-benchmark for the index-emitting Pallas kNN reduce kernel.
 
-Times ``fused_knn_reduce`` (always the exact v1 extraction — kernels that
-output neighbour indices ignore DGCNN_TPU_EXTRACT) on the real chip; use
-tools/ubench_stage.py to A/B the eval extraction variants (v1 vs v3).
+Times ``fused_knn_reduce`` on the real chip.  --exact selects the f32
+path (HIGHEST scores + v1 extraction); default is the AMP path (bf16x3
+scores + packed v2).  DGCNN_TPU_EXTRACT=v1|v2 overrides the loop for
+A/B runs; use tools/ubench_stage.py for the eval kernels (v1/v2/v3).
 
 Uses the same chained-fori_loop + host-readback timing as bench.py (naive
 block_until_ready returns early through the axon tunnel).
@@ -28,6 +29,8 @@ def main() -> None:
     p.add_argument("--k", type=int, default=20)
     p.add_argument("--iters", type=int, default=30)
     p.add_argument("--sumsq", action="store_true")
+    p.add_argument("--exact", action="store_true",
+                   help="f32 select_dtype: HIGHEST scores + v1 extraction")
     p.add_argument("--dups", action="store_true",
                    help="duplicate half the points (distance ties in every "
                         "row -> v7 pays its tie-repair region)")
@@ -50,10 +53,13 @@ def main() -> None:
     x = jnp.asarray(xn)
     a = jnp.asarray(rng.randn(args.batch, args.n, args.co).astype(np.float32))
 
+    sel_dt = jnp.float32 if args.exact else jnp.bfloat16
+
     def chained(x0, a0, iters):
         def body(_, carry):
             acc, xc = carry
-            out = fused_knn_reduce(xc, a0, args.k, with_sumsq=args.sumsq)
+            out = fused_knn_reduce(xc, a0, args.k, select_dtype=sel_dt,
+                                   with_sumsq=args.sumsq)
             s = jnp.sum(out[1]) * 1e-12
             return acc + s, x0 + s
         acc, _ = jax.lax.fori_loop(0, iters, body, (jnp.float32(0), x0))
@@ -72,7 +78,8 @@ def main() -> None:
     total = min(timed(args.iters) for _ in range(3))
     per_iter = (total - base) / (args.iters - 1)
     print(json.dumps({
-        "variant": "v1",  # index-emitting kernels are pinned to v1
+        "variant": ("v1" if args.exact
+                    else os.environ.get("DGCNN_TPU_EXTRACT", "v2")),
         "shape": f"B{args.batch} N{args.n} C{args.c} Co{args.co} k{args.k}",
         "ms_per_call": round(per_iter * 1e3, 3),
         "clouds_per_sec": round(args.batch / per_iter, 1),
