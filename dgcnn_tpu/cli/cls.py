@@ -23,7 +23,7 @@ from dgcnn_tpu.cli.common import (
     str2bool,
 )
 from dgcnn_tpu.utils.profiling import ThroughputMeter
-from dgcnn_tpu.data import ModelNet40, NumpyLoader, device_prefetch
+from dgcnn_tpu.data import ModelNet40, device_prefetch, make_loader
 from dgcnn_tpu.models import DGCNNCls, PointNet
 from dgcnn_tpu.train import (
     TrainState,
@@ -68,10 +68,10 @@ def train(args, io: IOStream):
                           seed=args.seed)
     test_ds = ModelNet40(partition="test", num_points=args.num_points,
                          seed=args.seed)
-    train_loader = NumpyLoader(train_ds, ["points", "label"],
+    train_loader = make_loader(train_ds, ["points", "label"],
                                batch_size=args.batch_size, shuffle=True,
                                drop_last=True, seed=args.seed)
-    test_loader = NumpyLoader(test_ds, ["points", "label"],
+    test_loader = make_loader(test_ds, ["points", "label"],
                               batch_size=args.test_batch_size, shuffle=True,
                               seed=args.seed)
     devices = pick_devices(args.no_cuda)
@@ -151,7 +151,7 @@ def load_variables_any(path: str, args):
 def test(args, io: IOStream):
     test_ds = ModelNet40(partition="test", num_points=args.num_points,
                          seed=args.seed)
-    loader = NumpyLoader(test_ds, ["points", "label"],
+    loader = make_loader(test_ds, ["points", "label"],
                          batch_size=args.test_batch_size, shuffle=True,
                          seed=args.seed)
     devices = pick_devices(args.no_cuda)

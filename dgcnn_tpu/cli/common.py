@@ -30,6 +30,12 @@ def add_runtime_flags(parser: argparse.ArgumentParser) -> None:
         help="rematerialize the forward under grad (jax.checkpoint): trades "
              "FLOPs for activation memory on large N")
     parser.add_argument(
+        "--num_workers", type=int, default=0,
+        help="input-pipeline worker processes (reference DataLoader "
+             "num_workers=8, main_cls.py:45-48); 0 = inline vectorized "
+             "batch assembly (data/pipeline.py — the right default for "
+             "few-core hosts)")
+    parser.add_argument(
         "--orbax", type=str2bool, default=False,
         help="use orbax for the partseg trainer's checkpoints — both the "
              "periodic resume checkpoint and the best-model save (cls/"
@@ -38,6 +44,9 @@ def add_runtime_flags(parser: argparse.ArgumentParser) -> None:
 
 
 def apply_runtime_flags(args) -> None:
+    if getattr(args, "num_workers", 0):
+        # make_loader (data/pipeline.py) reads this at construction time
+        os.environ["DGCNN_TPU_WORKERS"] = str(args.num_workers)
     if getattr(args, "debug_nans", False):
         from dgcnn_tpu.utils.profiling import enable_nan_debugging
 

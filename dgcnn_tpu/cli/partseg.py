@@ -26,10 +26,10 @@ from dgcnn_tpu.cli.common import (
     str2bool,
 )
 from dgcnn_tpu.data import (
-    NumpyLoader,
     ShapeNetPart,
     ShapeNetPartAugmented,
     device_prefetch,
+    make_loader,
 )
 from dgcnn_tpu.models import DGCNNPartSeg, Net
 from dgcnn_tpu.train import (
@@ -128,10 +128,10 @@ def train(args, io: IOStream):
         seg_start_index = train_ds.seg_start_index
         args.nclasses = (train_ds.seg_num_all
                          if args.class_choice else args.nclasses)
-    train_loader = NumpyLoader(train_ds, ["points", "label", "seg"],
+    train_loader = make_loader(train_ds, ["points", "label", "seg"],
                                batch_size=args.batch_size, shuffle=True,
                                drop_last=len(train_ds) >= 100, seed=args.seed)
-    test_loader = NumpyLoader(test_ds, ["points", "label", "seg"],
+    test_loader = make_loader(test_ds, ["points", "label", "seg"],
                               batch_size=args.test_batch_size, shuffle=True,
                               seed=args.seed)
     devices = pick_devices(args.no_cuda)
@@ -211,7 +211,7 @@ def train(args, io: IOStream):
 def test(args, io: IOStream):
     test_ds = ShapeNetPart(args.num_points, "test", args.class_choice,
                            seed=args.seed)
-    loader = NumpyLoader(test_ds, ["points", "label", "seg"],
+    loader = make_loader(test_ds, ["points", "label", "seg"],
                          batch_size=args.test_batch_size, shuffle=True,
                          seed=args.seed)
     devices = pick_devices(args.no_cuda)

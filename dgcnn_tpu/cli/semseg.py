@@ -21,7 +21,7 @@ from dgcnn_tpu.cli.common import (
     pick_devices,
     str2bool,
 )
-from dgcnn_tpu.data import S3DIS, NumpyLoader, device_prefetch, data_root
+from dgcnn_tpu.data import S3DIS, data_root, device_prefetch, make_loader
 from dgcnn_tpu.models import DGCNNSemSeg
 from dgcnn_tpu.train import (
     TrainState,
@@ -65,10 +65,10 @@ def init_state(args, model, steps_per_epoch, rng):
 def train(args, io: IOStream):
     train_ds = S3DIS(args.num_points, "train", args.test_area, seed=args.seed)
     test_ds = S3DIS(args.num_points, "test", args.test_area, seed=args.seed)
-    train_loader = NumpyLoader(train_ds, ["points", "seg"],
+    train_loader = make_loader(train_ds, ["points", "seg"],
                                batch_size=args.batch_size, shuffle=True,
                                drop_last=True, seed=args.seed)
-    test_loader = NumpyLoader(test_ds, ["points", "seg"],
+    test_loader = make_loader(test_ds, ["points", "seg"],
                               batch_size=args.test_batch_size, shuffle=True,
                               seed=args.seed)
     devices = pick_devices(args.no_cuda)
@@ -160,7 +160,7 @@ def test(args, io: IOStream):
         if args.test_area == "all" or area == args.test_area:
             test_ds = S3DIS(args.num_points, "test", area, seed=args.seed)
             # visualization must follow file order: no shuffle when visu on
-            loader = NumpyLoader(test_ds, ["points", "seg"],
+            loader = make_loader(test_ds, ["points", "seg"],
                                  batch_size=args.test_batch_size,
                                  shuffle=not args.visu, seed=args.seed)
             candidates = [

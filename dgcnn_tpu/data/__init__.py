@@ -12,8 +12,11 @@ from dgcnn_tpu.data.datasets import (
     load_data_semseg,
 )
 from dgcnn_tpu.data.loader import Batch, NumpyLoader, device_prefetch
+from dgcnn_tpu.data.pipeline import PipelineLoader, make_loader
 
 __all__ = [
+    "PipelineLoader",
+    "make_loader",
     "augment",
     "synthetic",
     "ModelNet40",

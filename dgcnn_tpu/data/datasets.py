@@ -148,6 +148,20 @@ class ModelNet40:
             self.rng.shuffle(pc)
         return pc, label
 
+    def batch(self, idxs: np.ndarray, rng: np.random.Generator):
+        """Vectorized batch assembly (data.pipeline.PipelineLoader): one
+        fancy-index + whole-batch augmentation instead of a per-item loop.
+        Same augmentation distribution as __getitem__ (different RNG draw
+        order)."""
+        pc = self.data[idxs, : self.num_points]
+        if self.partition == "train":
+            pc = augment.translate_batch(pc, rng)
+            order = augment.shuffle_points_batch(rng, *pc.shape[:2])
+            pc = np.take_along_axis(pc, order[:, :, None], axis=1)
+        else:
+            pc = pc.copy()
+        return pc, self.label[idxs]
+
 
 class ShapeNetPart:
     """reference data.py:297-336 (cat2id, seg windows, class_choice filter;
@@ -194,6 +208,17 @@ class ShapeNetPart:
             pc, seg = pc[order], seg[order]
         return pc, label, seg
 
+    def batch(self, idxs: np.ndarray, rng: np.random.Generator):
+        pc = self.data[idxs, : self.num_points]
+        seg = self.seg[idxs, : self.num_points]
+        if self.partition == "trainval":
+            order = augment.shuffle_points_batch(rng, *pc.shape[:2])
+            pc = np.take_along_axis(pc, order[:, :, None], axis=1)
+            seg = np.take_along_axis(seg, order, axis=1)
+        else:
+            pc, seg = pc.copy(), seg.copy()
+        return pc, self.label[idxs], seg
+
 
 class ShapeNetPartAugmented:
     """reference data.py:339-364: pre-generated tensors with a random subset
@@ -235,6 +260,28 @@ class ShapeNetPartAugmented:
                     pc = fn(pc, self.rng)
         return pc, label, seg
 
+    def batch(self, idxs: np.ndarray, rng: np.random.Generator):
+        """Vectorized form of the per-sample random-augmentation-subset
+        recipe: each sample draws a random ORDER of the three augmentations
+        and an independent on/off choice per augmentation (like
+        __getitem__/reference data.py:352-357).  Executed as 3 slots x 3
+        masked whole-batch ops (order matters — translate/rotate do not
+        commute)."""
+        pc = np.asarray(self.data[idxs], dtype=np.float32).copy()
+        b = pc.shape[0]
+        if self.partition == "train":
+            batched = [augment.translate_batch, augment.jitter_batch,
+                       augment.rotate_batch]
+            # per-sample permutation of the 3 fns + per-fn on/off choice
+            order = np.argsort(rng.random((b, 3)), axis=1)        # (B, 3)
+            choices = rng.integers(0, 2, size=(b, 3)).astype(bool)
+            for slot in range(3):
+                for f in range(3):
+                    apply = (order[:, slot] == f) & choices[:, f]
+                    if apply.any():
+                        pc = batched[f](pc, rng, apply=apply)
+        return pc, self.label[idxs], self.seg[idxs]
+
 
 class S3DIS:
     """reference data.py:367-386.  4096-point 9-channel blocks; train-time
@@ -257,4 +304,15 @@ class S3DIS:
         if self.partition == "train":
             order = self.rng.permutation(pc.shape[0])
             pc, seg = pc[order], seg[order]
+        return pc, seg
+
+    def batch(self, idxs: np.ndarray, rng: np.random.Generator):
+        pc = self.data[idxs, : self.num_points]
+        seg = self.seg[idxs, : self.num_points]
+        if self.partition == "train":
+            order = augment.shuffle_points_batch(rng, *pc.shape[:2])
+            pc = np.take_along_axis(pc, order[:, :, None], axis=1)
+            seg = np.take_along_axis(seg, order, axis=1)
+        else:
+            pc, seg = pc.copy(), seg.copy()
         return pc, seg

@@ -1,0 +1,173 @@
+"""Production input pipeline (BASELINE.json north star: "a jit-able
+tf.data/Grain-style input pipeline feeding device arrays").
+
+The reference feeds its trainers with torch DataLoader worker processes
+(main_cls.py:45-48, num_workers=8).  The TPU-native equivalent here is a
+grain-style pipeline built from three independent levers:
+
+1. **Vectorized batch assembly** — datasets expose ``batch(idxs, rng)``
+   (data/datasets.py): ONE numpy fancy-index + whole-batch augmentation
+   per batch instead of ``batch_size`` Python ``__getitem__`` calls and an
+   ``np.stack``.  This is the big host-side win (an order of magnitude on
+   this class of host — tools/ubench_loader.py) and needs no processes.
+2. **Worker processes** — ``num_workers > 0`` forks workers that assemble
+   batches in parallel (datasets are inherited copy-on-write; results
+   stream back via an ordered imap).  Batch content is a pure function of
+   (seed, epoch, batch_index), so outputs are IDENTICAL for any worker
+   count — scheduling cannot perturb training.
+3. **Device prefetch** — ``loader.device_iter()`` / ``device_prefetch``
+   keeps a couple of batches in flight so H2D transfers overlap the step.
+
+``PipelineLoader`` is a drop-in for ``NumpyLoader`` (same batch dict
+contract: named fields + a ``mask`` of real rows, final-batch padding for
+XLA's static shapes).  Eval batches (no augmentation) are bitwise
+identical to NumpyLoader's; train batches share the sample ORDER but draw
+augmentation randomness in whole-batch order (documented in
+augment.py — same distributions).
+"""
+from __future__ import annotations
+
+import multiprocessing
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from dgcnn_tpu.data.loader import Batch
+
+# fork-inherited state for worker processes (set by _init_worker)
+_WORKER_STATE: dict = {}
+
+
+def _init_worker(loader) -> None:
+    _WORKER_STATE["loader"] = loader
+
+
+def _assemble(job) -> Batch:
+    epoch, bi, idxs, real = job
+    return _WORKER_STATE["loader"]._make_batch(epoch, bi, idxs, real)
+
+
+class PipelineLoader:
+    """Vectorized, optionally multi-process batch pipeline.
+
+    Args:
+      dataset: indexable; if it has a ``batch(idxs, rng)`` method the
+        vectorized path is used, else falls back to per-item assembly.
+      names: field names for the tuple ``batch()``/``__getitem__`` returns.
+      batch_size / shuffle / drop_last / pad_final / seed: NumpyLoader
+        semantics (torch DataLoader shuffle + static-shape padding).
+      num_workers: 0 = assemble inline (vectorized — the right default for
+        1-core hosts); N>0 = fork N workers, ordered streaming results.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        names: Sequence[str],
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        pad_final: bool = True,
+        seed: int = 0,
+        num_workers: int = 0,
+    ):
+        self.dataset = dataset
+        self.names = list(names)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.pad_final = pad_final
+        self.seed = seed
+        self.num_workers = num_workers
+        self.epoch = 0
+        self._pool = None
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _jobs(self):
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            # same scheme as NumpyLoader: identical sample order
+            rng = np.random.default_rng((self.seed, self.epoch))
+            rng.shuffle(order)
+        stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        for bi, start in enumerate(range(0, stop, self.batch_size)):
+            idxs = order[start:start + self.batch_size]
+            real = len(idxs)
+            if real < self.batch_size:
+                if not self.pad_final:
+                    continue
+                idxs = np.concatenate(
+                    [idxs,
+                     np.full(self.batch_size - real, idxs[0] if real else 0)])
+            yield self.epoch, bi, idxs, real
+
+    def _make_batch(self, epoch: int, bi: int, idxs, real: int) -> Batch:
+        # content is a pure function of (seed, epoch, batch index): any
+        # worker can build any batch and the result is identical
+        rng = np.random.default_rng((self.seed, epoch, bi))
+        if hasattr(self.dataset, "batch"):
+            arrays = self.dataset.batch(np.asarray(idxs), rng)
+        else:  # per-item fallback (NumpyLoader assembly)
+            rows = [self.dataset[int(i)] for i in idxs]
+            arrays = tuple(
+                np.stack([np.asarray(r[j]) for r in rows])
+                for j in range(len(self.names)))
+        batch = Batch()
+        for name, arr in zip(self.names, arrays):
+            batch[name] = np.ascontiguousarray(arr)
+        mask = np.zeros(self.batch_size, dtype=bool)
+        mask[:real] = True
+        batch["mask"] = mask
+        return batch
+
+    def __iter__(self) -> Iterator[Batch]:
+        if self.num_workers <= 0:
+            for job in self._jobs():
+                yield self._make_batch(*job)
+            return
+        if self._pool is None:
+            ctx = multiprocessing.get_context("fork")
+            self._pool = ctx.Pool(self.num_workers, initializer=_init_worker,
+                                  initargs=(self,))
+        # ordered streaming map: up to num_workers batches in flight
+        yield from self._pool.imap(_assemble, self._jobs())
+
+    def close(self) -> None:
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool.join()
+            self._pool = None
+
+    def __del__(self):  # best-effort worker cleanup
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def device_iter(self, size: int = 2) -> Iterator[Batch]:
+        """Iterate with ``size`` batches already transferred to device."""
+        from dgcnn_tpu.data.loader import device_prefetch
+
+        return device_prefetch(iter(self), size=size)
+
+
+def make_loader(dataset, names, batch_size, *, shuffle=False, drop_last=False,
+                seed=0, num_workers: Optional[int] = None) -> PipelineLoader:
+    """CLI helper: PipelineLoader with ``num_workers`` from the flag or the
+    DGCNN_TPU_WORKERS env (default 0 — inline vectorized assembly)."""
+    import os
+
+    if num_workers is None:
+        num_workers = int(os.environ.get("DGCNN_TPU_WORKERS", "0"))
+    return PipelineLoader(dataset, names, batch_size, shuffle=shuffle,
+                          drop_last=drop_last, seed=seed,
+                          num_workers=num_workers)

@@ -1,0 +1,121 @@
+#!/usr/bin/env python
+"""Input-pipeline throughput microbench (VERDICT r2 #3 acceptance).
+
+Measures host-side batch-assembly clouds/s of the per-item NumpyLoader vs
+the vectorized PipelineLoader (and worker counts) on a ModelNet40-scale
+in-memory dataset, and optionally the epoch-level (loader + model) clouds/s
+against the model-only number on the real chip (--with-model).
+
+Target: the pipeline sustains >= 2x the model's clouds/s for the cls eval
+config, and epoch-level throughput lands within ~20% of model-only.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def make_dataset(n_items: int, num_points: int, partition: str):
+    """ModelNet40-shaped in-memory dataset without touching disk."""
+    import numpy as np
+
+    from dgcnn_tpu.data.datasets import ModelNet40
+
+    ds = ModelNet40.__new__(ModelNet40)
+    rng = np.random.RandomState(0)
+    ds.data = rng.randn(n_items, 2048, 3).astype(np.float32)
+    ds.label = rng.randint(0, 40, size=(n_items, 1)).astype(np.int64)
+    ds.num_points = num_points
+    ds.partition = partition
+    ds.rng = np.random.default_rng(42)
+    return ds
+
+
+def time_loader(loader, epochs: int = 2) -> float:
+    """clouds/s of pure host assembly (second epoch — warm caches)."""
+    n = 0
+    best = float("inf")
+    for e in range(epochs):
+        loader.set_epoch(e)
+        t0 = time.perf_counter()
+        n = sum(b["mask"].sum() for b in loader)
+        best = min(best, time.perf_counter() - t0)
+    return n / best
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--items", type=int, default=2464)  # ModelNet40 test size
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--points", type=int, default=1024)
+    p.add_argument("--partition", default="train", choices=["train", "test"])
+    p.add_argument("--workers", type=int, nargs="*", default=[0, 2, 4])
+    p.add_argument("--with-model", action="store_true",
+                   help="also run an epoch with the DGCNNCls eval step "
+                        "consuming the batches (real chip)")
+    args = p.parse_args()
+
+    from dgcnn_tpu.data.loader import NumpyLoader
+    from dgcnn_tpu.data.pipeline import PipelineLoader
+
+    ds = make_dataset(args.items, args.points, args.partition)
+    names = ["points", "label"]
+
+    base = NumpyLoader(ds, names, args.batch, shuffle=True)
+    per_item_cs = time_loader(base)
+    print(json.dumps({"loader": "per-item NumpyLoader",
+                      "clouds_per_sec": round(per_item_cs, 1)}), flush=True)
+    for w in args.workers:
+        pl = PipelineLoader(ds, names, args.batch, shuffle=True,
+                            num_workers=w)
+        cs = time_loader(pl)
+        pl.close()
+        print(json.dumps({
+            "loader": f"PipelineLoader(workers={w})",
+            "clouds_per_sec": round(cs, 1),
+            "speedup_vs_per_item": round(cs / per_item_cs, 1),
+        }), flush=True)
+
+    if args.with_model:
+        from dgcnn_tpu.utils import enable_compilation_cache
+
+        enable_compilation_cache()
+        import jax
+        import jax.numpy as jnp
+
+        from dgcnn_tpu.models import DGCNNCls
+
+        model = DGCNNCls(emb_dims=1024, k=20, output_channels=40)
+        dummy = jnp.zeros((args.batch, args.points, 3), jnp.float32)
+        v = model.init({"params": jax.random.PRNGKey(0)}, dummy, train=False)
+        step = jax.jit(lambda v, x: jnp.argmax(
+            model.apply(v, x, train=False), -1))
+
+        pl = PipelineLoader(ds, names, args.batch, shuffle=True)
+        # warm compile
+        step(v, dummy).block_until_ready()
+        for tag, it in (
+            ("epoch loader+model", pl.device_iter()),
+        ):
+            t0 = time.perf_counter()
+            n, preds = 0, None
+            for b in it:
+                preds = step(v, b["points"])
+                n += int(b["mask"].sum())
+            # one host readback at the end forces completion (axon:
+            # block_until_ready returns early; a scalar pull does not)
+            float(jnp.sum(preds))
+            dt = time.perf_counter() - t0
+            print(json.dumps({"loader": tag,
+                              "clouds_per_sec": round(n / dt, 1)}),
+                  flush=True)
+        pl.close()
+
+
+if __name__ == "__main__":
+    main()
