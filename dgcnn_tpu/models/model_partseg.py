@@ -105,6 +105,17 @@ class Net(nn.Module):
         src_e = src_embedding + canonical
         tgt_e = tgt_embedding + canonical
 
+        # AMP eval (the default bench path): the transformer stack computes
+        # in bf16 — params stay f32, LayerNorms/softmax run f32 — mirroring
+        # the reference's fp16-autocast numerics (main_partseg_dist.py:221).
+        # DGCNN_TPU_PALLAS_EXACT=1 keeps everything f32 (parity tests).
+        import os as _os
+
+        xf_dtype = (jnp.bfloat16
+                    if not train and not _os.environ.get(
+                        "DGCNN_TPU_PALLAS_EXACT")
+                    else jnp.float32)
+
         if self.use_custom_attention:
             src_p, tgt_p = Transformer(
                 self.emb_dim, self.n_blocks, self.d_qkv, self.k,
@@ -123,14 +134,26 @@ class Net(nn.Module):
                 dropout=self.dropout,
                 encoder_activation="leaky_relu",
                 decoder_activation="relu",
+                dtype=xf_dtype,
                 name="transformer",
             )
-            src_p = transformer(src_e, tgt_e, train)
-            tgt_p = transformer(tgt_e, src_e, train)
+            # the reference calls the SAME transformer twice with swapped
+            # (src, tgt) (model_partseg.py:187-188) — weight-shared, so both
+            # passes stack on the batch axis and run as ONE pipeline:
+            # dec(tgt2, enc(src2)) over src2=[src_e;tgt_e], tgt2=[tgt_e;src_e]
+            # computes [T(src_e,tgt_e); T(tgt_e,src_e)] exactly, halving the
+            # kernel-launch count (and drawing fresh dropout masks per half,
+            # like torch — two flax calls would reuse the per-path rng)
+            both = transformer(
+                jnp.concatenate([src_e, tgt_e], axis=0),
+                jnp.concatenate([tgt_e, src_e], axis=0), train)
+            src_p, tgt_p = jnp.split(both, 2, axis=0)
 
         scores = TorchMultiheadAttention(
-            self.emb_dim, self.n_heads, self.dropout, name="attention"
+            self.emb_dim, self.n_heads, self.dropout, dtype=xf_dtype,
+            name="attention"
         )(tgt_p, src_p, src_p, train)
+        scores = scores.astype(jnp.float32)
 
         return MLPHead(
             self.emb_dim, self.nclasses, self.dropout, ax, name="head"

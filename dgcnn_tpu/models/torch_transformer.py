@@ -47,11 +47,18 @@ def _use_flash(train: bool, dropout: float, qshape, kshape) -> bool:
 
 class TorchMultiheadAttention(nn.Module):
     """torch.nn.MultiheadAttention(batch_first=True) equivalent: packed
-    in-projection (3E x E weight + 3E bias) and out-projection with bias."""
+    in-projection (3E x E weight + 3E bias) and out-projection with bias.
+
+    ``dtype`` is the COMPUTE dtype (params stay f32): bf16 on the AMP eval
+    path mirrors the reference's fp16-autocast numerics and doubles MXU
+    rate / halves activation HBM; softmax runs in f32 either way (the
+    flash kernel normalizes in f32 internally; the XLA fallback upcasts).
+    """
 
     embed_dim: int
     num_heads: int
     dropout: float = 0.0
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(
@@ -72,6 +79,10 @@ class TorchMultiheadAttention(nn.Module):
             (3 * e, e),
         )
         b_in = self.param("in_proj_bias", nn.initializers.zeros, (3 * e,))
+        dt = self.dtype
+        w_in = w_in.astype(dt)
+        b_in = b_in.astype(dt)
+        query, key, value = (x.astype(dt) for x in (query, key, value))
         q = query @ w_in[:e].T + b_in[:e]
         k = key @ w_in[e : 2 * e].T + b_in[e : 2 * e]
         v = value @ w_in[2 * e :].T + b_in[2 * e :]
@@ -106,14 +117,16 @@ class TorchMultiheadAttention(nn.Module):
             out = flash_attention(q, k, v, sm_scale=1.0 / float(d) ** 0.5,
                                   block_sizes=bs)
         else:
-            scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(
-                jnp.asarray(d, q.dtype)
+            scores = jnp.einsum(
+                "bhqd,bhkd->bhqk", q, k,
+                preferred_element_type=jnp.float32) / jnp.sqrt(
+                jnp.asarray(d, jnp.float32)
             )
-            attn = jax.nn.softmax(scores, axis=-1)
+            attn = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
             attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
             out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, nq, e)
-        return nn.Dense(e, name="out_proj")(out)
+        return nn.Dense(e, name="out_proj", dtype=self.dtype)(out)
 
 
 class _FeedForward(nn.Module):
@@ -121,10 +134,12 @@ class _FeedForward(nn.Module):
     dim_feedforward: int
     dropout: float
     activation: str = "relu"
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        x = nn.Dense(self.dim_feedforward, name="linear1")(x)
+        x = nn.Dense(self.dim_feedforward, name="linear1",
+                     dtype=self.dtype)(x)
         if self.activation == "relu":
             x = nn.relu(x)
         elif self.activation == "leaky_relu":
@@ -132,7 +147,8 @@ class _FeedForward(nn.Module):
         else:
             raise ValueError(self.activation)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        return nn.Dense(self.d_model, name="linear2")(x)
+        return nn.Dense(self.d_model, name="linear2",
+                        dtype=self.dtype)(x)
 
 
 class TorchTransformerEncoderLayer(nn.Module):
@@ -141,20 +157,22 @@ class TorchTransformerEncoderLayer(nn.Module):
     dim_feedforward: int = 2048
     dropout: float = 0.1
     activation: str = "relu"
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         sa = TorchMultiheadAttention(
-            self.d_model, self.nhead, self.dropout, name="self_attn"
+            self.d_model, self.nhead, self.dropout, dtype=self.dtype,
+            name="self_attn"
         )(x, x, x, train)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(
             x + nn.Dropout(self.dropout, deterministic=not train)(sa)
         )
         ff = _FeedForward(
             self.d_model, self.dim_feedforward, self.dropout,
-            self.activation, name="ff"
+            self.activation, dtype=self.dtype, name="ff"
         )(x, train)
-        return nn.LayerNorm(epsilon=1e-5, name="norm2")(
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(
             x + nn.Dropout(self.dropout, deterministic=not train)(ff)
         )
 
@@ -165,28 +183,31 @@ class TorchTransformerDecoderLayer(nn.Module):
     dim_feedforward: int = 2048
     dropout: float = 0.1
     activation: str = "relu"
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(
         self, x: jax.Array, memory: jax.Array, train: bool = False
     ) -> jax.Array:
         sa = TorchMultiheadAttention(
-            self.d_model, self.nhead, self.dropout, name="self_attn"
+            self.d_model, self.nhead, self.dropout, dtype=self.dtype,
+            name="self_attn"
         )(x, x, x, train)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm1")(
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(
             x + nn.Dropout(self.dropout, deterministic=not train)(sa)
         )
         ca = TorchMultiheadAttention(
-            self.d_model, self.nhead, self.dropout, name="multihead_attn"
+            self.d_model, self.nhead, self.dropout, dtype=self.dtype,
+            name="multihead_attn"
         )(x, memory, memory, train)
-        x = nn.LayerNorm(epsilon=1e-5, name="norm2")(
+        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(
             x + nn.Dropout(self.dropout, deterministic=not train)(ca)
         )
         ff = _FeedForward(
             self.d_model, self.dim_feedforward, self.dropout,
-            self.activation, name="ff"
+            self.activation, dtype=self.dtype, name="ff"
         )(x, train)
-        return nn.LayerNorm(epsilon=1e-5, name="norm3")(
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(
             x + nn.Dropout(self.dropout, deterministic=not train)(ff)
         )
 
@@ -204,6 +225,7 @@ class TorchTransformer(nn.Module):
     dropout: float = 0.1
     encoder_activation: str = "relu"
     decoder_activation: str = "relu"
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(
@@ -217,9 +239,10 @@ class TorchTransformer(nn.Module):
                 self.dim_feedforward,
                 self.dropout,
                 self.encoder_activation,
+                dtype=self.dtype,
                 name=f"encoder_layer_{i}",
             )(mem, train)
-        mem = nn.LayerNorm(epsilon=1e-5, name="encoder_norm")(mem)
+        mem = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="encoder_norm")(mem)
         out = tgt
         for i in range(self.num_decoder_layers):
             out = TorchTransformerDecoderLayer(
@@ -228,6 +251,7 @@ class TorchTransformer(nn.Module):
                 self.dim_feedforward,
                 self.dropout,
                 self.decoder_activation,
+                dtype=self.dtype,
                 name=f"decoder_layer_{i}",
             )(out, mem, train)
-        return nn.LayerNorm(epsilon=1e-5, name="decoder_norm")(out)
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="decoder_norm")(out)

@@ -192,9 +192,12 @@ def test_mlp_head_parity():
 
 
 @requires_reference
-def test_net_full_parity():
+def test_net_full_parity(monkeypatch):
     """The WHOLE fusion Net end-to-end vs the torch reference
     (models/model_partseg.py:142-194), converted with convert_net.
+    Exact mode: the default eval path runs the transformer stack in bf16
+    (AMP, mirroring the reference's autocast training — drift measured by
+    tools/parity_drift.py); tight-tolerance parity needs f32.
 
     The reference hardcodes .cuda() inside compute_hog_1x1
     (model_partseg.py:42-47, 69-74); monkeypatching Tensor.cuda and
@@ -203,6 +206,8 @@ def test_net_full_parity():
     numerically — not just the sub-blocks.
     """
     import sys
+
+    monkeypatch.setenv("DGCNN_TPU_PALLAS_EXACT", "1")
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
     import torch

@@ -68,6 +68,37 @@ def main() -> None:
         v = m.init({"params": jax.random.PRNGKey(0)}, x[:1], train=False)
         parts["pos_embedding"] = chain(
             lambda xc, m=m, v=v: m.apply(v, xc, train=False))
+    if args.part in ("all", "xform"):
+        from dgcnn_tpu.models.torch_transformer import (
+            TorchMultiheadAttention,
+            TorchTransformer,
+        )
+
+        emb = 512
+        xf = TorchTransformer(
+            d_model=emb, nhead=2, num_encoder_layers=2,
+            num_decoder_layers=2, dim_feedforward=512, dropout=0.0,
+            encoder_activation="leaky_relu", decoder_activation="relu",
+            dtype=jnp.bfloat16)
+        att = TorchMultiheadAttention(emb, 2, 0.0, dtype=jnp.bfloat16)
+        se = jnp.asarray(rng.randn(args.batch, args.n, emb)
+                         .astype(np.float32) * 0.2)
+        te = jnp.asarray(rng.randn(args.batch, args.n, emb)
+                         .astype(np.float32) * 0.2)
+        vx = xf.init({"params": jax.random.PRNGKey(0)}, se[:1], te[:1])
+        va = att.init({"params": jax.random.PRNGKey(0)}, se[:1], se[:1],
+                      se[:1])
+
+        def run_xf(xc, vx=vx, va=va):
+            both = xf.apply(
+                vx, jnp.concatenate([se + 0 * xc[..., :1], te], 0),
+                jnp.concatenate([te, se], 0))
+            sp, tp = jnp.split(both, 2, axis=0)
+            return att.apply(va, tp, sp, sp)
+
+        # xc only breaks fori-loop folding; inputs are fixed activations
+        parts["transformer_stack"] = chain(
+            lambda xc: run_xf(jnp.sum(xc, keepdims=True)))
     if args.part in ("all", "net"):
         from dgcnn_tpu.models import Net
 
