@@ -136,8 +136,15 @@ def _compute_hog_fused(x: jax.Array, k: int) -> jax.Array:
     moments = jnp.stack(
         [x0, x1, x2, x0 * x0, x1 * x1, x2 * x2, x0 * x1, x0 * x2, x1 * x2],
         axis=-1)                                          # (B, N, 9)
+    # exact f32 scores + 3-way-split selection (covariance cancellation),
+    # but the cheaper packed-v2 extraction loop on the AMP path (-8% at the
+    # partseg shape; torch tie order preserved on bit-equal scores, near-tie
+    # flips within the score computation's own f32 noise — _pack_keys)
+    import os as _os
+
+    extract = None if _os.environ.get("DGCNN_TPU_PALLAS_EXACT") else "v2"
     idx, _, _, msum = fused_knn_reduce(
-        x, moments, k, select_dtype=jnp.float32)
+        x, moments, k, select_dtype=jnp.float32, extract=extract)
     s = msum[..., 0:3]                                    # sum of x
     q = msum[..., 3:9]       # sums of [x0^2, x1^2, x2^2, x0x1, x0x2, x1x2]
     # unnormalized covariance: sum x xT - (sum x)(sum x)^T / k

@@ -355,8 +355,9 @@ def _onehot_dot(onehot, parts, dims=(((1,), (0,)), ((), ()))):
     return out
 
 
-def _knn_reduce_kernel(k, select_dtype, with_sumsq, q_ref, x_ref, a_ref,
-                       idx_ref, amax_ref, amin_ref, asum_ref, *maybe_sq_ref):
+def _knn_reduce_kernel(k, select_dtype, with_sumsq, extract, q_ref, x_ref,
+                       a_ref, idx_ref, amax_ref, amin_ref, asum_ref,
+                       *maybe_sq_ref):
     n = x_ref.shape[1]
     co = a_ref.shape[2]
     tile = q_ref.shape[1]
@@ -365,10 +366,12 @@ def _knn_reduce_kernel(k, select_dtype, with_sumsq, q_ref, x_ref, a_ref,
     # selection.  bf16 select = the AMP/training default, mirroring the
     # reference's fp16 autocast training (main_partseg_dist.py:221):
     # 3-pass bf16x3 scores + packed v2 extraction + single-pass selection
-    # (feature values bf16-rounded — argmax-stable).
+    # (feature values bf16-rounded — argmax-stable).  ``extract`` pins the
+    # loop regardless (e.g. HOG: exact scores/selection + v2 loop).
     exact = select_dtype == jnp.float32
     scores = _scores(q_ref[0], x_ref[0], exact=exact)
-    variant = _extract_version("v1" if exact else "v2", ("v1", "v2"))
+    variant = extract or _extract_version("v1" if exact else "v2",
+                                          ("v1", "v2"))
     a_parts = (_split3(a_ref[0]) if exact
                else (a_ref[0].astype(jnp.bfloat16),))
 
@@ -537,7 +540,8 @@ def _auto_interpret(interpret):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "select_dtype", "interpret", "with_sumsq")
+    jax.jit, static_argnames=("k", "select_dtype", "interpret", "with_sumsq",
+                              "extract")
 )
 def fused_knn_reduce(
     x: jax.Array,
@@ -547,6 +551,7 @@ def fused_knn_reduce(
     select_dtype=jnp.bfloat16,
     interpret: bool | None = None,
     with_sumsq: bool = False,
+    extract: str | None = None,
 ):
     """Fused kNN + neighbour-feature reductions.
 
@@ -572,7 +577,8 @@ def fused_knn_reduce(
     tile = _pick_tile(n)
     grid = (b, n // tile)
 
-    kernel = functools.partial(_knn_reduce_kernel, k, select_dtype, with_sumsq)
+    kernel = functools.partial(_knn_reduce_kernel, k, select_dtype,
+                               with_sumsq, extract)
     red = jax.ShapeDtypeStruct((b, n, co), jnp.float32)
     red_spec = pl.BlockSpec((1, tile, co), lambda bi, ti: (bi, ti, 0),
                             memory_space=pltpu.VMEM)

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Micro-benchmark one fused_edge_conv_eval stage (the DGCNNCls hot block).
 The extraction variant defaults to the kernel's auto plan (select_x_plan);
-force one with DGCNN_TPU_EXTRACT=v1|v3.  Run each variant in a fresh
+force one with DGCNN_TPU_EXTRACT=v1|v2|v3.  Run each variant in a fresh
 process (the variant is read at trace time)."""
 from __future__ import annotations
 

@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""DGCNN-cls TRAIN-step throughput (fwd + bwd + optimizer update) on the
+real chip — the number behind CLAUDE.md's train-path notes.  Same
+chained-fori_loop + host-readback harness as bench.py (axon's
+block_until_ready returns early).
+
+Default config: B=32 (reference main_cls.py batch_size), N=1024, k=20.
+DGCNN_TPU_PALLAS_EXACT=1 measures the exact-selection train path.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--n", type=int, default=1024)
+    p.add_argument("--k", type=int, default=20)
+    p.add_argument("--iters", type=int, default=20)
+    args = p.parse_args()
+
+    from dgcnn_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dgcnn_tpu.models import DGCNNCls
+    from dgcnn_tpu.train import TrainState, make_cls_steps, make_optimizer
+
+    model = DGCNNCls(emb_dims=1024, k=args.k, output_channels=40)
+    rng = np.random.RandomState(0)
+    points = jnp.asarray(rng.randn(args.batch, args.n, 3).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, 40, size=(args.batch,)))
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        points, train=False)
+    tx = make_optimizer(use_sgd=True, schedule=lambda _: 1e-3)
+    state0 = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables["batch_stats"], tx=tx)
+    train_step, _ = make_cls_steps(model)
+
+    def chained(state, pts, iters):
+        def body(_, carry):
+            st, p = carry
+            st, m = train_step(st, p, labels, jax.random.PRNGKey(2))
+            return st, pts + m["loss"] * 1e-12
+        st, _ = jax.lax.fori_loop(0, iters, body, (state, pts))
+        return st.step
+
+    run = jax.jit(chained, static_argnums=(2,))
+
+    def timed(iters: int) -> float:
+        t0 = time.perf_counter()
+        int(run(state0, points, iters))
+        return time.perf_counter() - t0
+
+    timed(1)
+    timed(args.iters)
+    base = min(timed(1) for _ in range(3))
+    total = min(timed(args.iters) for _ in range(3))
+    per_iter = (total - base) / (args.iters - 1)
+    print(json.dumps({
+        "metric": "DGCNN-cls TRAIN step clouds/sec/chip",
+        "shape": f"B{args.batch} N{args.n} k{args.k}",
+        "mode": ("exact" if os.environ.get("DGCNN_TPU_PALLAS_EXACT")
+                 else "amp"),
+        "ms_per_step": round(per_iter * 1e3, 2),
+        "clouds_per_sec": round(args.batch / per_iter, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
