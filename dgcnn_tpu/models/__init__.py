@@ -15,6 +15,11 @@ from dgcnn_tpu.models.dgcnn import (
     TransformNet,
 )
 from dgcnn_tpu.models.model_partseg import MLPHead, Net
+from dgcnn_tpu.models.prototypes import (
+    CrossModalMultiHeadAttention,
+    OffsetAttention,
+    PointTransformerLayer,
+)
 from dgcnn_tpu.models.nn_layers import BatchNorm, ConvBN, DenseBNReLU, EdgeConv
 from dgcnn_tpu.models.torch_transformer import (
     TorchMultiheadAttention,
@@ -43,4 +48,7 @@ __all__ = [
     "TorchMultiheadAttention",
     "TorchTransformer",
     "Transformer",
+    "CrossModalMultiHeadAttention",
+    "OffsetAttention",
+    "PointTransformerLayer",
 ]

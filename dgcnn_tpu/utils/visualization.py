@@ -219,16 +219,56 @@ class SemSegVisualizer:
             )
 
 
+class _Painter:
+    """Legend drawing backend: cv2 when importable (Hershey text, like the
+    reference data.py:182-255), else the dependency-free bitmap-font raster
+    (utils/raster.py) — legends render everywhere."""
+
+    def __init__(self):
+        try:
+            import cv2
+
+            self.cv2 = cv2
+        except ImportError:
+            self.cv2 = None
+
+    def rect(self, img, x0, y0, x1, y1, color):
+        if self.cv2 is not None:
+            self.cv2.rectangle(img, (x0, y0), (x1, y1),
+                               color=tuple(int(v) for v in color),
+                               thickness=-1)
+        else:
+            from dgcnn_tpu.utils import raster
+
+            raster.draw_rect(img, x0, y0, x1, y1, color)
+
+    def text(self, img, s, x, y, scale):
+        if self.cv2 is not None:
+            self.cv2.putText(img, s, (x, y), self.cv2.FONT_HERSHEY_SIMPLEX,
+                             scale, (0, 0, 0), 2)
+        else:
+            from dgcnn_tpu.utils import raster
+
+            raster.draw_text(img, s, x, y - 16, scale=3)
+
+    def save(self, path, img) -> str:
+        if self.cv2 is not None:
+            self.cv2.imwrite(path, img)
+        else:
+            from dgcnn_tpu.utils import raster
+
+            # colors are BGR-ordered for cv2 parity; PNG wants RGB
+            raster.write_png(path, img[..., ::-1])
+        return path
+
+
 def render_legend_partseg(out_path: str) -> Optional[str]:
-    """Part-seg color legend PNG (reference data.py:182-213); needs cv2."""
-    try:
-        import cv2
-    except ImportError:
-        return None
+    """Part-seg color legend PNG (reference data.py:182-213)."""
     import json
 
     from dgcnn_tpu.data.datasets import META_DIR
 
+    painter = _Painter()
     with open(os.path.join(META_DIR, "partseg_colors.txt")) as f:
         table = json.load(f)
     colors = np.array([r["color"] for r in table])[:, [2, 1, 0]]
@@ -241,10 +281,8 @@ def render_legend_partseg(out_path: str) -> Optional[str]:
         col_x = 32
         for col in range(column_numbers[row]):
             c = colors[idx]
-            cv2.rectangle(img, (col_x, row_y), (col_x + 64, row_y + 64),
-                          color=tuple(int(v) for v in c), thickness=-1)
-            cv2.putText(img, labels[idx], (col_x + 73, row_y + 32),
-                        cv2.FONT_HERSHEY_SIMPLEX, 0.76, (0, 0, 0), 2)
+            painter.rect(img, col_x, row_y, col_x + 64, row_y + 64, c)
+            painter.text(img, labels[idx], col_x + 73, row_y + 32, 0.76)
             col_x += column_gaps[col]
             idx += 1
             if idx >= len(labels):
@@ -252,20 +290,16 @@ def render_legend_partseg(out_path: str) -> Optional[str]:
         row_y += 83
         if idx >= len(labels):
             break
-    cv2.imwrite(out_path, img)
-    return out_path
+    return painter.save(out_path, img)
 
 
 def render_legend_semseg(out_path: str) -> Optional[str]:
-    """Sem-seg color legend PNG (reference data.py:216-255); needs cv2."""
-    try:
-        import cv2
-    except ImportError:
-        return None
+    """Sem-seg color legend PNG (reference data.py:216-255)."""
     import json
 
     from dgcnn_tpu.data.datasets import META_DIR
 
+    painter = _Painter()
     with open(os.path.join(META_DIR, "semseg_colors.txt")) as f:
         table = json.load(f)
     colors = np.array([r["color"] for r in table])[:, [2, 1, 0]]
@@ -276,12 +310,9 @@ def render_legend_semseg(out_path: str) -> Optional[str]:
         col_x = 32
         while idx < len(labels) and col_x < 1280:
             c = colors[idx]
-            cv2.rectangle(img, (col_x, row_y), (col_x + 64, row_y + 64),
-                          color=tuple(int(v) for v in c), thickness=-1)
-            cv2.putText(img, labels[idx], (col_x + 73, row_y + 32),
-                        cv2.FONT_HERSHEY_SIMPLEX, 0.7, (0, 0, 0), 2)
+            painter.rect(img, col_x, row_y, col_x + 64, row_y + 64, c)
+            painter.text(img, labels[idx], col_x + 73, row_y + 32, 0.7)
             col_x += 200
             idx += 1
         row_y += 83
-    cv2.imwrite(out_path, img)
-    return out_path
+    return painter.save(out_path, img)

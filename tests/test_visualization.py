@@ -101,3 +101,50 @@ def test_legend_renderers(tmp_path):
     if p1 is not None:  # cv2 present
         assert os.path.getsize(p1) > 1000
         assert os.path.getsize(p2) > 1000
+
+
+def test_legend_renderers_work_without_cv2(tmp_path):
+    """Legends render on any host: cv2 when present, else the built-in
+    bitmap-font raster + pure-Python PNG encoder (utils/raster.py)."""
+    from dgcnn_tpu.utils.visualization import (
+        render_legend_partseg,
+        render_legend_semseg,
+    )
+
+    p1 = render_legend_partseg(str(tmp_path / "part.png"))
+    p2 = render_legend_semseg(str(tmp_path / "sem.png"))
+    for p, min_size in ((p1, 10_000), (p2, 5_000)):
+        assert p is not None
+        with open(p, "rb") as f:
+            assert f.read(8) == b"\x89PNG\r\n\x1a\n"
+        import os as _os
+
+        assert _os.path.getsize(p) > min_size
+
+
+def test_raster_png_roundtrip(tmp_path):
+    """write_png output decodes back to the exact pixels (zlib/PNG
+    correctness of the dependency-free encoder)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from dgcnn_tpu.utils import raster
+
+    img = (np.arange(5 * 7 * 3, dtype=np.uint8)).reshape(5, 7, 3)
+    path = str(tmp_path / "t.png")
+    raster.write_png(path, img)
+    blob = open(path, "rb").read()
+    # parse IDAT
+    off, idat = 8, b""
+    while off < len(blob):
+        (ln,) = struct.unpack(">I", blob[off:off + 4])
+        tag = blob[off + 4:off + 8]
+        if tag == b"IDAT":
+            idat += blob[off + 8:off + 8 + ln]
+        off += 12 + ln
+    raw = zlib.decompress(idat)
+    rows = [raw[y * (7 * 3 + 1) + 1:(y + 1) * (7 * 3 + 1)] for y in range(5)]
+    got = np.frombuffer(b"".join(rows), np.uint8).reshape(5, 7, 3)
+    np.testing.assert_array_equal(got, img)
