@@ -105,8 +105,10 @@ def model_flops_per_cloud(model: str, n: int, k: int) -> tuple[float, float]:
         bb_alg = _algorithmic_flops(n, k, [3, 64, 64, 128],
                                     [64, 64, 128, 256])
         conv5 = 2.0 * n * 512 * emb
-        # HOG: scores + moment selection (9 lanes) + multi-hot vote matmul
-        hog_sel = 2.0 * n * n * 3 + 2.0 * k * n * n * 9 + 2.0 * n * n * 18
+        # HOG: scores + ONE multi-hot moment-sum matmul (27 lanes: the
+        # 3-way-split hi|mid|lo concat of the 9 moments — fused_knn_sum
+        # replaced the k-pass selection in r3) + multi-hot vote matmul
+        hog_sel = 2.0 * n * n * 3 + 2.0 * n * n * 27 + 2.0 * n * n * 18
         hog_alg = 2.0 * n * k * (9 + 18)  # gathered sums a naive impl does
         # TransformNet trunk: scores + selection + per-edge conv2 + pool
         tn_sel = 2.0 * n * n * 3 + 2.0 * k * n * n * 64

@@ -41,6 +41,7 @@ class MLPHead(nn.Module):
     nclasses: int = 50
     dropout: float = 0.5
     axis_name: Optional[str] = None
+    dtype: object = jnp.float32   # ConvBN compute dtype (AMP eval: bf16)
 
     @nn.compact
     def __call__(
@@ -48,17 +49,22 @@ class MLPHead(nn.Module):
     ) -> jax.Array:
         b, n, _ = attn.shape
         ax = self.axis_name
+        dt = self.dtype
         lbl = ConvBN(64, axis_name=ax, name="label_conv")(
             label_one_hot[:, None, :], train
         )                                                    # (B, 1, 64)
-        lbl = jnp.broadcast_to(lbl, (b, n, 64))
+        lbl = jnp.broadcast_to(lbl, (b, n, 64)).astype(attn.dtype)
         x = jnp.concatenate([lbl, attn], axis=-1)            # (B, N, emb+64)
-        x = ConvBN(self.emb_dim // 2, axis_name=ax, name="fc1")(x, train)
+        x = ConvBN(self.emb_dim // 2, axis_name=ax, dtype=dt,
+                   name="fc1")(x, train)
         x = nn.Dropout(self.dropout, deterministic=not train, name="dp1")(x)
-        x = ConvBN(self.emb_dim // 4, axis_name=ax, name="fc2")(x, train)
+        x = ConvBN(self.emb_dim // 4, axis_name=ax, dtype=dt,
+                   name="fc2")(x, train)
         x = nn.Dropout(self.dropout, deterministic=not train, name="dp2")(x)
-        x = ConvBN(self.emb_dim // 8, axis_name=ax, name="fc3")(x, train)
+        x = ConvBN(self.emb_dim // 8, axis_name=ax, dtype=dt,
+                   name="fc3")(x, train)
         x = nn.Dropout(self.dropout, deterministic=not train, name="dp3")(x)
+        # final logits in f32 (the loss/argmax consumer contract)
         return nn.Dense(self.nclasses, name="fc4")(x)        # (B, N, nclasses)
 
 
@@ -86,13 +92,26 @@ class Net(nn.Module):
         src_embedding = DGCNN(self.emb_dim, self.k, axis_name=ax, name="emb_nn")(
             src, train
         )
+        # AMP eval (the default bench path): transformer stack, grads_emb
+        # and MLPHead convs compute in bf16 — params stay f32, BatchNorm/
+        # LayerNorm statistics and softmax run f32 — mirroring the
+        # reference's fp16-autocast numerics (main_partseg_dist.py:221).
+        # DGCNN_TPU_PALLAS_EXACT=1 keeps everything f32 (parity tests).
+        import os as _os
+
+        xf_dtype = (jnp.bfloat16
+                    if not train and not _os.environ.get(
+                        "DGCNN_TPU_PALLAS_EXACT")
+                    else jnp.float32)
+
         # (B, N, 18) — on-device HOG (reference round-trips through CPU LAPACK)
         tgt = compute_hog(src, self.k, bug_compat=self.hog_bug_compat)
         h = tgt
         for i, feat in enumerate(
             [self.emb_dim // 8, self.emb_dim // 4, self.emb_dim // 2, self.emb_dim]
         ):
-            h = ConvBN(feat, axis_name=ax, name=f"grads_emb_{i}")(h, train)
+            h = ConvBN(feat, axis_name=ax, dtype=xf_dtype,
+                       name=f"grads_emb_{i}")(h, train)
         tgt_embedding = h                                     # (B, N, emb)
 
         canonical_xyz = PositionEmbedding(self.k, axis_name=ax, name="pos_embed")(
@@ -104,17 +123,6 @@ class Net(nn.Module):
 
         src_e = src_embedding + canonical
         tgt_e = tgt_embedding + canonical
-
-        # AMP eval (the default bench path): the transformer stack computes
-        # in bf16 — params stay f32, LayerNorms/softmax run f32 — mirroring
-        # the reference's fp16-autocast numerics (main_partseg_dist.py:221).
-        # DGCNN_TPU_PALLAS_EXACT=1 keeps everything f32 (parity tests).
-        import os as _os
-
-        xf_dtype = (jnp.bfloat16
-                    if not train and not _os.environ.get(
-                        "DGCNN_TPU_PALLAS_EXACT")
-                    else jnp.float32)
 
         if self.use_custom_attention:
             src_p, tgt_p = Transformer(
@@ -153,8 +161,8 @@ class Net(nn.Module):
             self.emb_dim, self.n_heads, self.dropout, dtype=xf_dtype,
             name="attention"
         )(tgt_p, src_p, src_p, train)
-        scores = scores.astype(jnp.float32)
 
         return MLPHead(
-            self.emb_dim, self.nclasses, self.dropout, ax, name="head"
+            self.emb_dim, self.nclasses, self.dropout, ax, dtype=xf_dtype,
+            name="head"
         )(label_one_hot, scores, train)

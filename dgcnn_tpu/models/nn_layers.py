@@ -94,17 +94,27 @@ class BatchNorm(nn.Module):
 
 class ConvBN(nn.Module):
     """Dense (1x1 conv) + BatchNorm + LeakyReLU — the reference's ubiquitous
-    Conv{1,2}d/BN/LeakyReLU sandwich (e.g. models/dgcnn.py:54-78)."""
+    Conv{1,2}d/BN/LeakyReLU sandwich (e.g. models/dgcnn.py:54-78).
+
+    ``dtype`` is the COMPUTE dtype of the Dense (params stay f32; BN and
+    LeakyReLU always run f32) — bf16 on AMP eval paths mirrors torch's
+    fp16 autocast, which runs convs in half precision and BatchNorm in
+    f32 (reference main_partseg_dist.py:221)."""
 
     features: int
     negative_slope: float = 0.2
     use_bias: bool = False
     axis_name: Optional[str] = None
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False,
                  return_params: bool = False, push_stats=None):
-        dense = nn.Dense(self.features, use_bias=self.use_bias, name="conv")
+        # the identity-trick kernel readback (return_params) must not round
+        # the kernel through the compute dtype — force f32 for that call
+        dense = nn.Dense(self.features, use_bias=self.use_bias,
+                         dtype=jnp.float32 if return_params else self.dtype,
+                         name="conv")
         bn = BatchNorm(axis_name=self.axis_name, name="bn")
         if push_stats is not None:
             dummy = jnp.zeros((1, self.features), jnp.float32)

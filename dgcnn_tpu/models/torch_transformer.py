@@ -83,6 +83,13 @@ class TorchMultiheadAttention(nn.Module):
         w_in = w_in.astype(dt)
         b_in = b_in.astype(dt)
         query, key, value = (x.astype(dt) for x in (query, key, value))
+        # Tried and rejected (r3): packing the shared-input projections
+        # into one E->3E (self-attn) / E->2E (cross-attn) matmul measured
+        # 19% SLOWER at the fusion-Net stack shape (90.9 -> 108.4 ms,
+        # tools/ubench_partseg_parts.py --part xform) — slicing the packed
+        # output forces a relayout that costs more than the saved input
+        # re-reads.  Three separate dots also keep per-column bit parity
+        # trivially.
         q = query @ w_in[:e].T + b_in[:e]
         k = key @ w_in[e : 2 * e].T + b_in[e : 2 * e]
         v = value @ w_in[2 * e :].T + b_in[2 * e :]
@@ -165,14 +172,14 @@ class TorchTransformerEncoderLayer(nn.Module):
             self.d_model, self.nhead, self.dropout, dtype=self.dtype,
             name="self_attn"
         )(x, x, x, train)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(
             x + nn.Dropout(self.dropout, deterministic=not train)(sa)
         )
         ff = _FeedForward(
             self.d_model, self.dim_feedforward, self.dropout,
             self.activation, dtype=self.dtype, name="ff"
         )(x, train)
-        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(
             x + nn.Dropout(self.dropout, deterministic=not train)(ff)
         )
 
@@ -193,21 +200,21 @@ class TorchTransformerDecoderLayer(nn.Module):
             self.d_model, self.nhead, self.dropout, dtype=self.dtype,
             name="self_attn"
         )(x, x, x, train)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm1")(
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(
             x + nn.Dropout(self.dropout, deterministic=not train)(sa)
         )
         ca = TorchMultiheadAttention(
             self.d_model, self.nhead, self.dropout, dtype=self.dtype,
             name="multihead_attn"
         )(x, memory, memory, train)
-        x = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm2")(
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(
             x + nn.Dropout(self.dropout, deterministic=not train)(ca)
         )
         ff = _FeedForward(
             self.d_model, self.dim_feedforward, self.dropout,
             self.activation, dtype=self.dtype, name="ff"
         )(x, train)
-        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="norm3")(
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm3")(
             x + nn.Dropout(self.dropout, deterministic=not train)(ff)
         )
 
@@ -242,7 +249,7 @@ class TorchTransformer(nn.Module):
                 dtype=self.dtype,
                 name=f"encoder_layer_{i}",
             )(mem, train)
-        mem = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="encoder_norm")(mem)
+        mem = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="encoder_norm")(mem)
         out = tgt
         for i in range(self.num_decoder_layers):
             out = TorchTransformerDecoderLayer(
@@ -254,4 +261,4 @@ class TorchTransformer(nn.Module):
                 dtype=self.dtype,
                 name=f"decoder_layer_{i}",
             )(out, mem, train)
-        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="decoder_norm")(out)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="decoder_norm")(out)

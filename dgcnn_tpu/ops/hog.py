@@ -121,7 +121,7 @@ def _normalize_hist(hist: jax.Array) -> jax.Array:
 def _compute_hog_fused(x: jax.Array, k: int) -> jax.Array:
     """Gather-free TPU path (module docstring): per-neighbourhood moment
     sums -> covariance -> per-point votes -> per-neighbourhood vote sums."""
-    from dgcnn_tpu.ops.pallas_knn import edge_sum_reduce, fused_knn_reduce
+    from dgcnn_tpu.ops.pallas_knn import edge_sum_reduce, fused_knn_sum
 
     # HOG is detached in the reference (computed on host numpy); the vote
     # sum kernel is non-differentiable by design.
@@ -136,15 +136,13 @@ def _compute_hog_fused(x: jax.Array, k: int) -> jax.Array:
     moments = jnp.stack(
         [x0, x1, x2, x0 * x0, x1 * x1, x2 * x2, x0 * x1, x0 * x2, x1 * x2],
         axis=-1)                                          # (B, N, 9)
-    # exact f32 scores + 3-way-split selection (covariance cancellation),
-    # but the cheaper packed-v2 extraction loop on the AMP path (-8% at the
-    # partseg shape; torch tie order preserved on bit-equal scores, near-tie
-    # flips within the score computation's own f32 noise — _pack_keys)
-    import os as _os
-
-    extract = None if _os.environ.get("DGCNN_TPU_PALLAS_EXACT") else "v2"
-    idx, _, _, msum = fused_knn_reduce(
-        x, moments, k, select_dtype=jnp.float32, extract=extract)
+    # exact f32 scores + 3-way-split sums (covariance cancellation) via the
+    # sum-only kernel: ONE multi-hot matmul replaces the k selection passes
+    # (31.9 -> see tools/ubench_partseg_parts.py).  Extraction is packed v2
+    # on the AMP path (torch tie order on bit-equal scores, near-tie flips
+    # within the score computation's own f32 noise — _pack_keys) and v1
+    # member-exact under DGCNN_TPU_PALLAS_EXACT.
+    idx, msum = fused_knn_sum(x, moments, k)
     s = msum[..., 0:3]                                    # sum of x
     q = msum[..., 3:9]       # sums of [x0^2, x1^2, x2^2, x0x1, x0x2, x1x2]
     # unnormalized covariance: sum x xT - (sum x)(sum x)^T / k

@@ -111,7 +111,12 @@ def _pack_keys(scores, n):
     rmin = jnp.min(scores, axis=1, keepdims=True)
     lim = float(2 ** (31 - b) - 1)
     scale = jnp.where(rmin < 0, -lim / rmin, 0.0)
-    q = jnp.round(scores * scale).astype(jnp.int32)
+    # clamp: the row-min score times the f32-rounded scale can round to
+    # -(lim+1), and -(lim+1) * 2^b + (n-1-(n-1)) == INT32_MIN exactly —
+    # colliding with the masked-rewrite sentinel (a spurious member in any
+    # consumer that tests keys == sentinel, e.g. _knn_sum_kernel's
+    # multi-hot, and a duplicate key after rewrites in the v2 walk)
+    q = jnp.maximum(jnp.round(scores * scale), -lim).astype(jnp.int32)
     return q * jnp.int32(2 ** b) + (jnp.int32(n - 1) - col)
 
 
@@ -1425,6 +1430,98 @@ def edge_sum_reduce(
             vmem_limit_bytes=64 * 1024 * 1024),
         interpret=_auto_interpret(interpret),
     )(idx, a)
+
+
+def _knn_sum_kernel(k, idx_variant, q_ref, x_ref, a_ref, idx_ref, asum_ref):
+    """kNN extraction + neighbourhood SUM of ``a`` in one kernel, with the
+    sum as ONE multi-hot matmul instead of k per-iteration selection
+    passes (the _knn_reduce_kernel cost HOG was paying for max/min state
+    it never used).  The packed-v2 walk already rewrites each selected key
+    to INT32_MIN; rewriting on the FINAL iteration too makes the multi-hot
+    a single end-of-loop compare — real keys sit strictly above INT32_MIN
+    (_pack_keys layout), so the compare is exact.  Scores stay HIGHEST-
+    precision f32 and the sum uses the exact 3-way split (hi|mid|lo
+    concatenated within one 128-lane pass for Co <= 42) — the HOG
+    covariance-cancellation contract of fused_knn_reduce(select_dtype=f32).
+    """
+    n = x_ref.shape[1]
+    scores = _scores(q_ref[0], x_ref[0], exact=True)
+    if idx_variant == "v1":
+        # exact torch member order (DGCNN_TPU_PALLAS_EXACT): v1 walk,
+        # multi-hot accumulated per iteration like _edge_sum_kernel
+        box = {"mh": jnp.zeros(scores.shape, jnp.bfloat16)}
+
+        def payload(onehot, t):
+            box["mh"] = box["mh"] + onehot.astype(jnp.bfloat16)
+
+        idx_ref[0] = _extract_loop_v1(scores, k, n, payload,
+                                      onehot_dtype=jnp.bfloat16)
+        mh = box["mh"]
+    else:
+        mask = jnp.int32(2 ** _index_bits(n) - 1)
+        sentinel = jnp.iinfo(jnp.int32).min
+        keys = _pack_keys(scores, n)
+        idx_cols = []
+        for t in range(k):
+            m = jnp.max(keys, axis=1, keepdims=True)
+            idx_cols.append(jnp.int32(n - 1) - (m & mask))
+            keys = jnp.where(keys == m, sentinel, keys)
+        idx_ref[0] = jnp.concatenate(idx_cols, axis=1)
+        mh = (keys == sentinel).astype(jnp.bfloat16)
+    asum_ref[0] = _onehot_dot(mh, _split3(a_ref[0]))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def fused_knn_sum(
+    x: jax.Array,
+    a: jax.Array,
+    k: int,
+    *,
+    interpret: bool | None = None,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused kNN + per-neighbourhood f32-exact SUM of ``a``.
+
+    The sum-only sibling of :func:`fused_knn_reduce` (see _knn_sum_kernel):
+    same idx contract (self first, torch tie order — v1 member-exact under
+    DGCNN_TPU_PALLAS_EXACT, packed v2 otherwise) and the same f32-exact
+    sum values, at one multi-hot matmul instead of k selection passes.
+    Returns (idx (B, N, k) int32, asum (B, N, Co) float32).
+    Non-differentiable (detached consumers only, e.g. ops/hog.py).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, c = x.shape
+    co = a.shape[2]
+    assert _supported(n), f"N={n} must be a multiple of {TILE_N}"
+    tile = _pick_tile(n)
+    kernel = functools.partial(_knn_sum_kernel, k,
+                               _extract_version("v2", ("v1", "v2")))
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n // tile),
+        in_specs=[
+            pl.BlockSpec((1, tile, c), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, c), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n, co), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tile, k), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, co), lambda bi, ti: (bi, ti, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, k), jnp.int32),
+            jax.ShapeDtypeStruct((b, n, co), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024),
+        interpret=_auto_interpret(interpret),
+    )(x, x, a)
 
 
 def _knn_only_kernel(k, q_ref, x_ref, idx_ref):

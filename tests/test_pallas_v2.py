@@ -165,3 +165,38 @@ def test_pack_keys_degenerate_all_tied():
         x, a, 4, select_dtype=jnp.bfloat16, interpret=True)[0])
     expect = np.broadcast_to(np.arange(4, dtype=np.int32), (1, 128, 4))
     np.testing.assert_array_equal(idx, expect)
+
+
+def test_fused_knn_sum_matches_reduce():
+    """The sum-only kernel (one multi-hot matmul) returns the same idx and
+    f32-exact sums as fused_knn_reduce's per-iteration selection path."""
+    from dgcnn_tpu.ops.pallas_knn import fused_knn_sum
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 384, 3).astype(np.float32))
+    a = jnp.asarray(rng.randn(2, 384, 9).astype(np.float32))
+    k = 12
+    idx0, _, _, s0 = fused_knn_reduce(
+        x, a, k, select_dtype=jnp.float32, extract="v2", interpret=True)
+    idx1, s1 = fused_knn_sum(x, a, k, interpret=True)
+    np.testing.assert_array_equal(np.asarray(idx0), np.asarray(idx1))
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pack_keys_rowmin_no_sentinel_collision():
+    """Regression: the row-minimum score could quantize one step past -lim
+    (f32 rounding of score*scale), and -(lim+1)*2^b for the LAST column
+    packs to exactly INT32_MIN — the masked-rewrite sentinel.  The clamp
+    keeps every real key strictly above the sentinel, so multi-hot
+    consumers (keys == sentinel) see exactly k members per row."""
+    from dgcnn_tpu.ops.pallas_knn import _pack_keys, _scores
+
+    jax.config.update("jax_platforms", "cpu")
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(1, 256, 3).astype(np.float32))
+    x = x - jnp.mean(x, axis=1, keepdims=True)
+    with jax.default_matmul_precision("float32"):
+        scores = _scores(x[0], x[0], exact=True)
+    keys = np.asarray(_pack_keys(scores, 256))
+    assert (keys > np.iinfo(np.int32).min).all()

@@ -89,16 +89,25 @@ def main() -> None:
         va = att.init({"params": jax.random.PRNGKey(0)}, se[:1], se[:1],
                       se[:1])
 
-        def run_xf(xc, vx=vx, va=va):
-            both = xf.apply(
-                vx, jnp.concatenate([se + 0 * xc[..., :1], te], 0),
-                jnp.concatenate([te, se], 0))
-            sp, tp = jnp.split(both, 2, axis=0)
-            return att.apply(va, tp, sp, sp)
+        # se/te must be ARGUMENTS of the jitted fn: closing over them bakes
+        # 2x 256 MB constants into the program, which the axon tunnel's
+        # remote-compile endpoint rejects (HTTP 413)
+        def chained_xf(se_a, te_a, iters, vx=vx, va=va):
+            def body(_, carry):
+                acc, s_c = carry
+                both = xf.apply(
+                    vx, jnp.concatenate([se_a + s_c, te_a], 0),
+                    jnp.concatenate([te_a, se_a], 0))
+                sp, tp = jnp.split(both, 2, axis=0)
+                out = att.apply(va, tp, sp, sp)
+                s = jnp.sum(out).astype(jnp.float32) * 1e-12
+                return acc + s, s
+            acc, _ = jax.lax.fori_loop(
+                0, iters, body, (jnp.float32(0), jnp.float32(0)))
+            return acc
 
-        # xc only breaks fori-loop folding; inputs are fixed activations
-        parts["transformer_stack"] = chain(
-            lambda xc: run_xf(jnp.sum(xc, keepdims=True)))
+        parts["transformer_stack"] = (
+            jax.jit(chained_xf, static_argnums=(2,)), (se, te))
     if args.part in ("all", "net"):
         from dgcnn_tpu.models import Net
 
@@ -112,8 +121,9 @@ def main() -> None:
         parts["net_full"] = chain(
             lambda xc, m=m, v=v: m.apply(v, xc, lbl, train=False))
 
-    for name, run in parts.items():
-        ms = _timed(run, (x,), args.iters) * 1e3
+    for name, entry in parts.items():
+        run, call_args = entry if isinstance(entry, tuple) else (entry, (x,))
+        ms = _timed(run, call_args, args.iters) * 1e3
         print(json.dumps({"part": name, "ms_per_call": round(ms, 2),
                           "shape": f"B{args.batch} N{args.n} k{args.k}"}),
               flush=True)
