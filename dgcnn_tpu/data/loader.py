@@ -94,7 +94,12 @@ class NumpyLoader:
 
 def device_prefetch(it: Iterator[Batch], size: int = 2) -> Iterator[Batch]:
     """Software pipeline: keep ``size`` host batches queued ahead of compute.
-    (jax transfers are async; queuing batches overlaps H2D with the step.)"""
+    (jax transfers are async; queuing batches overlaps H2D with the step.)
+
+    ``mask`` stays a host numpy array: every consumer uses it for host-side
+    bookkeeping (row counts, metric masking), and transferring it would turn
+    each ``np.asarray(batch["mask"])`` into a blocking device readback.
+    """
     import collections
 
     import jax
@@ -109,7 +114,8 @@ def device_prefetch(it: Iterator[Batch], size: int = 2) -> Iterator[Batch]:
             except StopIteration:
                 return
             queue.append(
-                {k2: jax.device_put(v) for k2, v in batch.items()}
+                {k2: (v if k2 == "mask" else jax.device_put(v))
+                 for k2, v in batch.items()}
             )
 
     enqueue(size)

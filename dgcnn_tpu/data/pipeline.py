@@ -159,6 +159,72 @@ class PipelineLoader:
 
         return device_prefetch(iter(self), size=size)
 
+    def device_resident(self):
+        """Assemble the WHOLE epoch host-side and ship it to the device once.
+
+        Returns ``(arrays, mask)`` where each array is stacked to
+        ``(num_batches, batch_size, ...)`` on device and ``mask`` is the
+        matching host ``(num_batches, batch_size)`` bool of real rows.
+
+        This is the TPU-native shape for small evaluation sets (ModelNet40
+        test is ~30 MB): one H2D transfer for the epoch, then
+        :func:`run_resident_epoch` scans the step over the leading axis
+        entirely on device — no per-batch host round-trips at all.  The
+        reference's per-batch DataLoader→cuda() hop
+        (/root/reference/main_cls.py:45-48, :158-166) has no reason to
+        exist on hardware where the whole set fits in HBM.
+        """
+        import jax
+        import numpy as np
+
+        stacked: dict = {}
+        masks = []
+        for batch in self:
+            for name, arr in batch.items():
+                if name == "mask":
+                    masks.append(arr)
+                else:
+                    stacked.setdefault(name, []).append(arr)
+        arrays = {
+            name: jax.device_put(np.stack(parts))
+            for name, parts in stacked.items()
+        }
+        return arrays, np.stack(masks)
+
+
+def resident_epoch_fn(step_fn):
+    """Build a jitted whole-epoch runner over a
+    :meth:`PipelineLoader.device_resident` epoch.
+
+    Returns ``epoch(arrays, *static_args)``: runs
+    ``step_fn(batch_dict, *static_args)`` over every batch (each value
+    ``(batch_size, ...)``) via ``lax.scan`` inside ONE jit, stacking the
+    per-batch outputs to ``(num_batches, ...)`` device arrays — one XLA
+    program per epoch, batches stream from HBM, nothing touches the host.
+    Reuse the returned function across epochs: it owns the jit cache.
+    """
+    import jax
+
+    @jax.jit
+    def epoch_impl(arrs, extra):
+        names = sorted(arrs)
+
+        def body(carry, sl):
+            batch = dict(zip(names, sl))
+            return carry, step_fn(batch, *extra)
+
+        _, outs = jax.lax.scan(body, 0, tuple(arrs[n] for n in names))
+        return outs
+
+    return lambda arrays, *static_args: epoch_impl(arrays, static_args)
+
+
+def run_resident_epoch(step_fn, arrays, *static_args):
+    """One-shot convenience wrapper over :func:`resident_epoch_fn` (pays a
+    re-trace per call — hold on to ``resident_epoch_fn(step_fn)`` in loops).
+    """
+    return resident_epoch_fn(step_fn)(arrays, *static_args)
+
 
 def make_loader(dataset, names, batch_size, *, shuffle=False, drop_last=False,
                 seed=0, num_workers: Optional[int] = None) -> PipelineLoader:

@@ -95,6 +95,34 @@ def test_shapenetpart_aug_batch_matches_single_distribution():
             np.testing.assert_array_equal(pc, ds.data)
 
 
+def test_device_resident_epoch_matches_per_batch():
+    """device_resident + run_resident_epoch: one H2D + on-device lax.scan
+    gives the same per-batch outputs as the per-batch device_iter loop."""
+    import jax.numpy as jnp
+
+    from dgcnn_tpu.data.pipeline import run_resident_epoch
+
+    ds = _dataset("test")
+    pl = PipelineLoader(ds, ["points", "label"], 8, shuffle=True, seed=5)
+    pl.set_epoch(1)
+    arrays, mask = pl.device_resident()
+    assert arrays["points"].shape == (5, 8, 32, 3)
+    assert mask.shape == (5, 8) and mask.sum() == 37
+
+    def step(batch, w):
+        return jnp.sum(batch["points"] * w, axis=(1, 2)) + batch[
+            "label"].squeeze(-1)
+
+    w = jnp.float32(2.0)
+    got = np.asarray(run_resident_epoch(step, arrays, w))
+    pl.set_epoch(1)
+    for i, b in enumerate(pl.device_iter()):
+        want = np.asarray(step({"points": b["points"], "label": b["label"]},
+                               w))
+        assert isinstance(b["mask"], np.ndarray)  # mask stays host-side
+        np.testing.assert_allclose(got[i], want, rtol=1e-6)
+
+
 def test_seg_batch_shuffles_points_and_labels_together():
     from dgcnn_tpu.data.datasets import S3DIS
 
