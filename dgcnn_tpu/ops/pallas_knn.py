@@ -126,7 +126,10 @@ def _extract_loop_v2(scores, k, n, payload_fn, onehot_dtype=jnp.float32):
     mask — keys are unique by construction) and one masked rewrite — v3's
     per-iteration cost WITH a per-member index stream, so index-emitting
     kernels (training, semseg) can run it.  Same payload/return contract
-    as _extract_loop_v1."""
+    as _extract_loop_v1.  (Tried and rejected r3: a v3-style read-only walk
+    ``m = max(keys < m)`` — 6% SLOWER than rewrite-and-re-reduce; Mosaic
+    fuses the masked rewrite into the next reduce, and the walk's masked
+    reduce does not fuse as tightly.)"""
     mask = jnp.int32(2 ** _index_bits(n) - 1)
     keys = _pack_keys(scores, n)
     idx_cols = []
@@ -981,6 +984,11 @@ def _knn_edge2_kernel(k, slope, q_ref, x_ref, a1_ref, b1_ref, w2_ref,
     tile = q_ref.shape[1]
     # eval-only kernel: AMP-style 3-pass scores unless exact mode is forced
     scores = _scores(q_ref[0], x_ref[0], exact=_train_exact())
+    # Selection and the second conv stay f32: at every shape this kernel
+    # serves, the per-iteration VPU extraction passes bound the loop and
+    # the MXU matmuls hide under them (bf16 one-hot/payload/w2 measured
+    # flat at semseg N=4096 and partseg posemb, r3) — so there is no
+    # reason to buy approximation here.
     a1 = a1_ref[0]
     b1 = b1_ref[0]
     w2 = w2_ref[:]

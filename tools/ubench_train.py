@@ -55,15 +55,19 @@ def main() -> None:
         def body(_, carry):
             st, p = carry
             st, m = train_step(st, p, labels, jax.random.PRNGKey(2))
-            return st, pts + m["loss"] * 1e-12
-        st, _ = jax.lax.fori_loop(0, iters, body, (state, pts))
-        return st.step
+            return st, p + m["loss"] * 1e-12
+        st, p = jax.lax.fori_loop(0, iters, body, (state, pts))
+        # readback must depend on the trained params AND the chained input
+        # (st.step alone is a counter XLA computes without the model)
+        psum = jax.tree.reduce(
+            lambda a, b: a + jnp.sum(b) * 1e-12, st.params, jnp.float32(0))
+        return psum + jnp.sum(p) * 1e-12
 
     run = jax.jit(chained, static_argnums=(2,))
 
     def timed(iters: int) -> float:
         t0 = time.perf_counter()
-        int(run(state0, points, iters))
+        float(run(state0, points, iters))
         return time.perf_counter() - t0
 
     timed(1)
