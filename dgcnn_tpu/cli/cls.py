@@ -63,6 +63,78 @@ def init_state(args, model, steps_per_epoch: int, rng):
     )
 
 
+def _train_device_pipeline(args, io, model, state, train_step, eval_step,
+                           train_ds, test_ds, steps_per_epoch):
+    """Fully on-device training loop (``--device_pipeline=True``): the raw
+    train set lives in HBM; per-epoch shuffle, batch gather, augmentation
+    and every optimizer step run inside ONE jitted ``lax.scan``
+    (data/device_pipeline.py), so each epoch costs a single dispatch and a
+    single metrics readback.  Same metric strings / best-model gate as the
+    host path; augmentation matches the reference distributions but draws
+    from the JAX RNG stream (documented deviation)."""
+    from dgcnn_tpu.data.device_pipeline import (
+        dataset_to_device,
+        resident_train_epoch_fn,
+    )
+    from dgcnn_tpu.data.pipeline import resident_epoch_fn
+
+    tr_data, tr_labels = dataset_to_device(train_ds, args.num_points)
+    epoch_fn = resident_train_epoch_fn(train_step)
+
+    test_loader = make_loader(test_ds, ["points", "label"],
+                              batch_size=args.test_batch_size, shuffle=True,
+                              seed=args.seed)
+    ev_arrays, ev_mask = test_loader.device_resident()
+    ev_arrays["mask"] = jax.device_put(ev_mask)
+
+    def ev_batch(batch, st):
+        m = eval_step(st, batch["points"], batch["label"].squeeze(-1),
+                      batch["mask"])
+        m["labels"] = batch["label"].squeeze(-1)
+        return m
+
+    ev_fn = resident_epoch_fn(ev_batch)
+
+    best_test_acc = 0.0
+    tput = ThroughputMeter()
+    for epoch in range(args.epochs):
+        tput.start()
+        with profile_epoch(args, epoch):
+            state, mets = epoch_fn(
+                state, tr_data, tr_labels,
+                jax.random.fold_in(jax.random.PRNGKey(args.seed), epoch),
+                args.batch_size)
+            losses = np.asarray(mets["loss"])  # one readback for the epoch
+        rate = tput.tick(steps_per_epoch * args.batch_size)
+        t = np.asarray(mets["labels"]).reshape(-1)
+        p = np.asarray(mets["preds"]).reshape(-1)
+        io.cprint(
+            "Train %d, loss: %.6f, train acc: %.6f, train avg acc: %.6f, "
+            "throughput: %.1f clouds/sec"
+            % (epoch, float(losses.mean()), accuracy_score(t, p),
+               balanced_accuracy_score(t, p), rate)
+        )
+
+        em = ev_fn(ev_arrays, state)
+        meter = MeterAccumulator()
+        for i in range(ev_mask.shape[0]):
+            meter.add_cls(np.asarray(em["loss"])[i],
+                          np.asarray(em["preds"])[i],
+                          np.asarray(em["labels"])[i], ev_mask[i])
+        t, p = meter.concat()
+        test_acc = accuracy_score(t, p)
+        io.cprint(
+            "Test %d, loss: %.6f, test acc: %.6f, test avg acc: %.6f"
+            % (epoch, meter.mean_loss, test_acc, balanced_accuracy_score(t, p))
+        )
+        if test_acc >= best_test_acc:
+            best_test_acc = test_acc
+            save_model(
+                f"outputs/{args.exp_name}/models/model.t7.msgpack",
+                {"params": state.params, "batch_stats": state.batch_stats},
+            )
+
+
 def train(args, io: IOStream):
     train_ds = ModelNet40(partition="train", num_points=args.num_points,
                           seed=args.seed)
@@ -82,6 +154,10 @@ def train(args, io: IOStream):
                        jax.random.PRNGKey(args.seed))
     train_step, eval_step = make_cls_steps(
         model, remat=getattr(args, "remat", False))
+    if getattr(args, "device_pipeline", False):
+        _train_device_pipeline(args, io, model, state, train_step, eval_step,
+                               train_ds, test_ds, len(train_loader))
+        return
     train_call = build_data_parallel_call(train_step, devices,
                                           args.batch_size, n_sharded=2,
                                           donate=True)
@@ -164,15 +240,34 @@ def test(args, io: IOStream):
         tx=make_optimizer(use_sgd=True, schedule=lambda _: 0.0),
     )
     _, eval_step = make_cls_steps(model)
-    eval_call = build_data_parallel_call(eval_step, devices,
-                                         args.test_batch_size, n_sharded=3)
     meter = MeterAccumulator()
-    for batch in device_prefetch(iter(loader)):
-        m = eval_call(state, batch["points"], batch["label"].squeeze(-1),
+    if getattr(args, "device_pipeline", False):
+        from dgcnn_tpu.data.pipeline import resident_epoch_fn
+
+        arrays, mask = loader.device_resident()
+        arrays["mask"] = jax.device_put(mask)
+
+        def ev_batch(batch, st):
+            m = eval_step(st, batch["points"], batch["label"].squeeze(-1),
                           batch["mask"])
-        meter.add_cls(m["loss"], np.asarray(m["preds"]),
-                      np.asarray(batch["label"]).squeeze(-1),
-                      np.asarray(batch["mask"]))
+            m["labels"] = batch["label"].squeeze(-1)
+            return m
+
+        em = resident_epoch_fn(ev_batch)(arrays, state)
+        for i in range(mask.shape[0]):
+            meter.add_cls(np.asarray(em["loss"])[i],
+                          np.asarray(em["preds"])[i],
+                          np.asarray(em["labels"])[i], mask[i])
+    else:
+        eval_call = build_data_parallel_call(eval_step, devices,
+                                             args.test_batch_size,
+                                             n_sharded=3)
+        for batch in device_prefetch(iter(loader)):
+            m = eval_call(state, batch["points"],
+                          batch["label"].squeeze(-1), batch["mask"])
+            meter.add_cls(m["loss"], np.asarray(m["preds"]),
+                          np.asarray(batch["label"]).squeeze(-1),
+                          np.asarray(batch["mask"]))
     t, p = meter.concat()
     io.cprint(
         "Test :: test acc: %.6f, test avg acc: %.6f"
@@ -206,6 +301,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--emb_dims", type=int, default=1024, metavar="N")
     parser.add_argument("--k", type=int, default=20, metavar="N")
     parser.add_argument("--model_path", type=str, default="", metavar="N")
+    parser.add_argument("--device_pipeline", type=str2bool, default=False,
+                        help="TPU-native extension: keep the dataset "
+                             "resident in HBM and run each train epoch as "
+                             "one jitted lax.scan (shuffle + gather + "
+                             "augment + step on device)")
     add_runtime_flags(parser)
     return parser
 

@@ -48,6 +48,34 @@ def test_cls_train_and_eval_roundtrip(data_env):
     assert "Test :: test acc:" in log
 
 
+def test_cls_device_pipeline_train_and_eval(data_env):
+    """--device_pipeline=True: resident-dataset lax.scan epochs produce the
+    same artifacts/metric lines and a loadable best checkpoint."""
+    from dgcnn_tpu.cli import cls
+
+    argv = [
+        "--exp_name=smoke_cls_dp", "--epochs=2", "--batch_size=8",
+        "--test_batch_size=8", "--num_points=64", "--k=4", "--emb_dims=32",
+        "--use_sgd=False", "--device_pipeline=True",
+    ]
+    cls.main(argv)
+    model_path = "outputs/smoke_cls_dp/models/model.t7.msgpack"
+    assert os.path.exists(model_path)
+    log = open("outputs/smoke_cls_dp/run.log").read()
+    assert "Train 0" in log and "Test 1" in log
+
+    cls.main(argv + ["--eval=True", f"--model_path={model_path}"])
+    log = open("outputs/smoke_cls_dp/run.log").read()
+    assert "Test :: test acc:" in log
+    # resident eval == per-batch eval on the same checkpoint
+    cls.main(["--exp_name=smoke_cls_dp", "--eval=True",
+              f"--model_path={model_path}", "--test_batch_size=8",
+              "--num_points=64", "--k=4", "--emb_dims=32"])
+    lines = [l for l in open("outputs/smoke_cls_dp/run.log").read().splitlines()
+             if l.startswith("Test :: test acc:")]
+    assert len(lines) >= 2 and lines[-1] == lines[-2]
+
+
 def test_partseg_train_then_eval_with_visu(data_env):
     from dgcnn_tpu.cli import partseg
 

@@ -123,6 +123,32 @@ def test_device_resident_epoch_matches_per_batch():
         np.testing.assert_allclose(got[i], want, rtol=1e-6)
 
 
+def test_device_translate_shuffle_distribution():
+    """On-device augmentation (device_pipeline): scale within U(2/3,3/2),
+    shift within 0.2, per-sample permutation (same multiset), deterministic
+    in the key."""
+    import jax
+    import jax.numpy as jnp
+
+    from dgcnn_tpu.data.device_pipeline import device_translate_shuffle
+
+    rng = np.random.RandomState(0)
+    pts = jnp.asarray(rng.randn(16, 64, 3).astype(np.float32))
+    key = jax.random.PRNGKey(3)
+    out = np.asarray(device_translate_shuffle(key, pts))
+    out2 = np.asarray(device_translate_shuffle(key, pts))
+    np.testing.assert_array_equal(out, out2)
+    raw = np.asarray(pts)
+    for i in range(16):
+        a, r = np.sort(out[i], axis=0), np.sort(raw[i], axis=0)
+        scale = (a[-1] - a[0]) / (r[-1] - r[0])
+        assert np.all(scale > 2 / 3 - 1e-5) and np.all(scale < 3 / 2 + 1e-5)
+        shift = a[0] - r[0] * scale
+        assert np.all(np.abs(shift) <= 0.2 + 1e-5)
+        recon = r * scale + shift
+        np.testing.assert_allclose(a, recon, atol=1e-4)
+
+
 def test_seg_batch_shuffles_points_and_labels_together():
     from dgcnn_tpu.data.datasets import S3DIS
 
