@@ -63,7 +63,7 @@ def init_state(args, model, steps_per_epoch: int, rng):
     )
 
 
-def _train_device_pipeline(args, io, model, state, train_step, eval_step,
+def _train_device_pipeline(args, io, state, train_step, eval_step,
                            train_ds, test_ds, steps_per_epoch):
     """Fully on-device training loop (``--device_pipeline=True``): the raw
     train set lives in HBM; per-epoch shuffle, batch gather, augmentation
@@ -73,13 +73,20 @@ def _train_device_pipeline(args, io, model, state, train_step, eval_step,
     host path; augmentation matches the reference distributions but draws
     from the JAX RNG stream (documented deviation)."""
     from dgcnn_tpu.data.device_pipeline import (
+        augment_cls,
         dataset_to_device,
         resident_train_epoch_fn,
     )
     from dgcnn_tpu.data.pipeline import resident_epoch_fn
 
-    tr_data, tr_labels = dataset_to_device(train_ds, args.num_points)
-    epoch_fn = resident_train_epoch_fn(train_step)
+    tr_arrays = dataset_to_device(train_ds, args.num_points)
+
+    def step(st, batch, rng):
+        st, met = train_step(st, batch["points"], batch["label"], rng)
+        met["labels"] = batch["label"]
+        return st, met
+
+    epoch_fn = resident_train_epoch_fn(step, augment_cls)
 
     test_loader = make_loader(test_ds, ["points", "label"],
                               batch_size=args.test_batch_size, shuffle=True,
@@ -101,7 +108,7 @@ def _train_device_pipeline(args, io, model, state, train_step, eval_step,
         tput.start()
         with profile_epoch(args, epoch):
             state, mets = epoch_fn(
-                state, tr_data, tr_labels,
+                state, tr_arrays,
                 jax.random.fold_in(jax.random.PRNGKey(args.seed), epoch),
                 args.batch_size)
             losses = np.asarray(mets["loss"])  # one readback for the epoch
@@ -155,7 +162,7 @@ def train(args, io: IOStream):
     train_step, eval_step = make_cls_steps(
         model, remat=getattr(args, "remat", False))
     if getattr(args, "device_pipeline", False):
-        _train_device_pipeline(args, io, model, state, train_step, eval_step,
+        _train_device_pipeline(args, io, state, train_step, eval_step,
                                train_ds, test_ds, len(train_loader))
         return
     train_call = build_data_parallel_call(train_step, devices,

@@ -157,6 +157,33 @@ def train(args, io: IOStream):
 
     train_step, eval_step = make_seg_steps(
         model, remat=getattr(args, "remat", False))
+    dp_epoch = tr_arrays = None
+    if getattr(args, "device_pipeline", False):
+        from dgcnn_tpu.data.device_pipeline import (
+            augment_partseg_augmented,
+            augment_partseg_plain,
+            dataset_to_device,
+            resident_train_epoch_fn,
+        )
+
+        # Augmented tensors ship pre-cut; plain ShapeNetPart crops to
+        # num_points at load (ShapeNetPart.__getitem__ order preserved:
+        # crop THEN shuffle)
+        tr_arrays = dataset_to_device(
+            train_ds, None if dataset_cls is not None else args.num_points)
+        aug = (augment_partseg_augmented if dataset_cls is not None
+               else augment_partseg_plain)
+
+        def _dp_step(st, batch, rng):
+            seg = batch["seg"] - seg_start_index
+            lbl1h = jax.nn.one_hot(batch["label"], NUM_CATEGORIES,
+                                   dtype=jnp.float32)
+            st, met = train_step(st, batch["points"], lbl1h, seg, rng)
+            met["seg"] = seg
+            met["label"] = batch["label"]
+            return st, met
+
+        dp_epoch = resident_train_epoch_fn(_dp_step, aug)
     train_call = build_data_parallel_call(train_step, devices,
                                           args.batch_size, n_sharded=3,
                                           donate=True)
@@ -169,12 +196,23 @@ def train(args, io: IOStream):
         train_loader.set_epoch(epoch)
         test_loader.set_epoch(epoch)
         meter = MeterAccumulator()
-        for batch in device_prefetch(iter(train_loader)):
-            seg = batch["seg"] - seg_start_index
-            lbl1h = one_hot_categories(batch["label"])
-            state, m = train_call(state, batch["points"], lbl1h, seg, key)
-            meter.add_seg(m["loss"], np.asarray(m["preds"]), seg,
-                          batch["label"], np.asarray(batch["mask"]))
+        if dp_epoch is not None:
+            state, mets = dp_epoch(
+                state, tr_arrays,
+                jax.random.fold_in(jax.random.PRNGKey(args.seed), epoch),
+                args.batch_size)
+            mets = {k: np.asarray(v) for k, v in mets.items()}  # 1 readback
+            full = np.ones(args.batch_size, bool)
+            for i in range(mets["loss"].shape[0]):
+                meter.add_seg(mets["loss"][i], mets["preds"][i],
+                              mets["seg"][i], mets["label"][i], full)
+        else:
+            for batch in device_prefetch(iter(train_loader)):
+                seg = batch["seg"] - seg_start_index
+                lbl1h = one_hot_categories(batch["label"])
+                state, m = train_call(state, batch["points"], lbl1h, seg, key)
+                meter.add_seg(m["loss"], np.asarray(m["preds"]), seg,
+                              batch["label"], np.asarray(batch["mask"]))
         t, p = meter.concat()
         ts, ps, ls = meter.concat_seg()
         ious = calculate_shape_IoU(ps, ts, ls, args.class_choice)
@@ -324,6 +362,11 @@ def build_parser(dist: bool = False) -> argparse.ArgumentParser:
     parser.add_argument("--grad_accum", type=int, default=1,
                         help="gradient accumulation steps (the reference's "
                              "commented accum_iter)")
+    parser.add_argument("--device_pipeline", type=str2bool, default=False,
+                        help="TPU-native extension: keep the train set "
+                             "resident in HBM and run each train epoch as "
+                             "one jitted lax.scan (shuffle + gather + "
+                             "augment + step on device; drop-last batches)")
     add_runtime_flags(parser)
     return parser
 

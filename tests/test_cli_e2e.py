@@ -105,6 +105,24 @@ def test_partseg_train_then_eval_with_visu(data_env):
     assert log.count("test iou:") >= 2
 
 
+def test_partseg_device_pipeline_train(data_env):
+    """--device_pipeline=True on partseg: resident lax.scan train epochs
+    (both dataset recipes' augmentations jitted) produce the reference
+    metric lines and checkpoints."""
+    from dgcnn_tpu.cli import partseg
+
+    argv = [
+        "--exp_name=smoke_part_dp", "--epochs=1", "--batch_size=8",
+        "--test_batch_size=8", "--num_points=64", "--k=4", "--emb_dim=32",
+        "--ff_dims=16", "--n_heads=2", "--n_blocks=1", "--use_sgd=False",
+        "--scheduler=cycle", "--device_pipeline=True",
+    ]
+    partseg.main(argv)
+    assert os.path.exists("outputs/smoke_part_dp/checkpoints/ckpt.checkpoint")
+    log = open("outputs/smoke_part_dp/run.log").read()
+    assert "train iou:" in log and "test iou:" in log
+
+
 def test_semseg_train_smoke(data_env):
     from dgcnn_tpu.cli import semseg
 

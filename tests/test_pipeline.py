@@ -123,20 +123,20 @@ def test_device_resident_epoch_matches_per_batch():
         np.testing.assert_allclose(got[i], want, rtol=1e-6)
 
 
-def test_device_translate_shuffle_distribution():
-    """On-device augmentation (device_pipeline): scale within U(2/3,3/2),
-    shift within 0.2, per-sample permutation (same multiset), deterministic
-    in the key."""
+def test_device_augment_cls_distribution():
+    """On-device cls augmentation (device_pipeline): scale within
+    U(2/3,3/2), shift within 0.2, per-sample permutation (same multiset),
+    deterministic in the key."""
     import jax
     import jax.numpy as jnp
 
-    from dgcnn_tpu.data.device_pipeline import device_translate_shuffle
+    from dgcnn_tpu.data.device_pipeline import augment_cls
 
     rng = np.random.RandomState(0)
     pts = jnp.asarray(rng.randn(16, 64, 3).astype(np.float32))
     key = jax.random.PRNGKey(3)
-    out = np.asarray(device_translate_shuffle(key, pts))
-    out2 = np.asarray(device_translate_shuffle(key, pts))
+    out = np.asarray(augment_cls(key, {"points": pts})["points"])
+    out2 = np.asarray(augment_cls(key, {"points": pts})["points"])
     np.testing.assert_array_equal(out, out2)
     raw = np.asarray(pts)
     for i in range(16):
@@ -147,6 +147,39 @@ def test_device_translate_shuffle_distribution():
         assert np.all(np.abs(shift) <= 0.2 + 1e-5)
         recon = r * scale + shift
         np.testing.assert_allclose(a, recon, atol=1e-4)
+
+
+def test_device_augment_partseg():
+    """Seg labels follow the point shuffle; the augmented recipe applies
+    per-sample gated translate/jitter/rotate (finite, y preserved up to
+    scale/shift/jitter when rotation is about the x-z plane)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dgcnn_tpu.data.device_pipeline import (
+        augment_partseg_augmented,
+        augment_partseg_plain,
+    )
+
+    rng = np.random.RandomState(1)
+    pts = jnp.asarray(rng.randn(8, 32, 3).astype(np.float32))
+    # seg encodes each point's original rank along x, recoverable after
+    # a pure permutation
+    seg = jnp.asarray(np.argsort(np.argsort(np.asarray(pts)[..., 0],
+                                            axis=1), axis=1))
+    out = augment_partseg_plain(jax.random.PRNGKey(0),
+                                {"points": pts, "seg": seg})
+    p, s = np.asarray(out["points"]), np.asarray(out["seg"])
+    for i in range(8):
+        rank = np.argsort(np.argsort(p[i, :, 0]))
+        np.testing.assert_array_equal(rank, s[i])
+
+    out = augment_partseg_augmented(jax.random.PRNGKey(4),
+                                    {"points": pts, "seg": seg})
+    assert np.isfinite(np.asarray(out["points"])).all()
+    np.testing.assert_array_equal(np.asarray(out["seg"]), np.asarray(seg))
+    # not a no-op across the batch (some augmentation fired)
+    assert not np.allclose(np.asarray(out["points"]), np.asarray(pts))
 
 
 def test_seg_batch_shuffles_points_and_labels_together():

@@ -90,17 +90,26 @@ def main() -> None:
     }), flush=True)
 
     if args.epoch:
-        from dgcnn_tpu.data.device_pipeline import resident_train_epoch_fn
+        from dgcnn_tpu.data.device_pipeline import (
+            augment_cls,
+            resident_train_epoch_fn,
+        )
 
-        data = jnp.asarray(
-            rng.randn(args.items, args.n, 3).astype(np.float32))
-        lbls = jnp.asarray(
-            rng.randint(0, 40, size=(args.items,)).astype(np.int32))
-        epoch_fn = resident_train_epoch_fn(train_step)
+        arrays = {
+            "points": jnp.asarray(
+                rng.randn(args.items, args.n, 3).astype(np.float32)),
+            "label": jnp.asarray(
+                rng.randint(0, 40, size=(args.items,)).astype(np.int32)),
+        }
+
+        def step(st, batch, r):
+            return train_step(st, batch["points"], batch["label"], r)
+
+        epoch_fn = resident_train_epoch_fn(step, augment_cls)
         nb = args.items // args.batch
 
         def run_epoch(st, e):
-            st, mets = epoch_fn(st, data, lbls,
+            st, mets = epoch_fn(st, arrays,
                                 jax.random.fold_in(jax.random.PRNGKey(7), e),
                                 args.batch)
             float(jnp.sum(mets["loss"]))  # completion readback
