@@ -79,6 +79,22 @@ def train(args, io: IOStream):
                        jax.random.PRNGKey(args.seed))
     train_step, eval_step = make_seg_steps(
         model, with_label=False, remat=getattr(args, "remat", False))
+    dp_epoch = tr_arrays = None
+    if getattr(args, "device_pipeline", False):
+        from dgcnn_tpu.data.device_pipeline import (
+            augment_partseg_plain,  # S3DIS train = same shuffle-with-seg
+            dataset_to_device,
+            resident_train_epoch_fn,
+        )
+
+        tr_arrays = dataset_to_device(train_ds, args.num_points)
+
+        def _dp_step(st, batch, rng):
+            st, met = train_step(st, batch["points"], batch["seg"], rng)
+            met["seg"] = batch["seg"]
+            return st, met
+
+        dp_epoch = resident_train_epoch_fn(_dp_step, augment_partseg_plain)
     train_call = build_data_parallel_call(train_step, devices,
                                           args.batch_size, n_sharded=2,
                                           donate=True)
@@ -91,10 +107,22 @@ def train(args, io: IOStream):
         train_loader.set_epoch(epoch)
         test_loader.set_epoch(epoch)
         meter = MeterAccumulator()
-        for batch in device_prefetch(iter(train_loader)):
-            state, m = train_call(state, batch["points"], batch["seg"], key)
-            meter.add_seg(m["loss"], np.asarray(m["preds"]), batch["seg"],
-                          None, np.asarray(batch["mask"]))
+        if dp_epoch is not None:
+            state, mets = dp_epoch(
+                state, tr_arrays,
+                jax.random.fold_in(jax.random.PRNGKey(args.seed), epoch),
+                args.batch_size)
+            mets = {k: np.asarray(v) for k, v in mets.items()}  # 1 readback
+            full = np.ones(args.batch_size, bool)
+            for i in range(mets["loss"].shape[0]):
+                meter.add_seg(mets["loss"][i], mets["preds"][i],
+                              mets["seg"][i], None, full)
+        else:
+            for batch in device_prefetch(iter(train_loader)):
+                state, m = train_call(state, batch["points"], batch["seg"],
+                                      key)
+                meter.add_seg(m["loss"], np.asarray(m["preds"]),
+                              batch["seg"], None, np.asarray(batch["mask"]))
         t, p = meter.concat()
         ts, ps, _ = meter.concat_seg()
         ious = calculate_sem_IoU(ps, ts)
@@ -271,6 +299,11 @@ def build_parser() -> argparse.ArgumentParser:
                              "must divide by the device count; uses the "
                              "XLA compute path — the fused Pallas kernels "
                              "are shard-local)")
+    parser.add_argument("--device_pipeline", type=str2bool, default=False,
+                        help="TPU-native extension: keep the train blocks "
+                             "resident in HBM and run each train epoch as "
+                             "one jitted lax.scan (shuffle + gather + "
+                             "augment + step on device; drop-last batches)")
     add_runtime_flags(parser)
     return parser
 

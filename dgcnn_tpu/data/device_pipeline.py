@@ -151,24 +151,24 @@ def resident_train_epoch_fn(step_fn, augment=None):
 
 
 def dataset_to_device(ds, num_points: int | None = None) -> dict:
-    """One-time H2D of a raw in-memory h5 dataset (``.data``/``.label``
-    and optionally ``.seg`` arrays), pre-cut to ``num_points``.  Returns a
-    dict of device arrays: ``points (M, n, C) f32``, ``label (M,) int32``
-    and, when present, ``seg (M, n) int32``."""
+    """One-time H2D of a raw in-memory h5 dataset (``.data`` plus whichever
+    of ``.label``/``.seg`` it carries), pre-cut to ``num_points``.  Returns
+    a dict of device arrays: ``points (M, n, C) f32`` and, when present,
+    ``label (M,) int32`` / ``seg (M, n) int32``."""
     import numpy as np
 
     data = np.asarray(ds.data)
     seg = getattr(ds, "seg", None)
+    label = getattr(ds, "label", None)
     if num_points is not None:
         data = data[:, :num_points]
         if seg is not None:
             seg = np.asarray(seg)[:, :num_points]
-    out = {
-        "points": jax.device_put(
-            np.ascontiguousarray(data).astype(np.float32)),
-        "label": jax.device_put(
-            np.asarray(ds.label).reshape(-1).astype(np.int32)),
-    }
+    out = {"points": jax.device_put(
+        np.ascontiguousarray(data).astype(np.float32))}
+    if label is not None:
+        out["label"] = jax.device_put(
+            np.asarray(label).reshape(-1).astype(np.int32))
     if seg is not None:
         out["seg"] = jax.device_put(
             np.ascontiguousarray(seg).astype(np.int32))

@@ -123,6 +123,22 @@ def test_partseg_device_pipeline_train(data_env):
     assert "train iou:" in log and "test iou:" in log
 
 
+def test_semseg_device_pipeline_train(data_env):
+    """--device_pipeline=True on semseg: resident lax.scan train epoch
+    (S3DIS shuffle-with-seg recipe on device)."""
+    from dgcnn_tpu.cli import semseg
+
+    argv = [
+        "--exp_name=smoke_sem_dp", "--epochs=1", "--batch_size=8",
+        "--test_batch_size=8", "--num_points=64", "--k=4", "--emb_dims=32",
+        "--test_area=6", "--use_sgd=False", "--device_pipeline=True",
+    ]
+    semseg.main(argv)
+    assert os.path.exists("outputs/smoke_sem_dp/models/model_6.t7.msgpack")
+    log = open("outputs/smoke_sem_dp/run.log").read()
+    assert "train iou:" in log and "test iou:" in log
+
+
 def test_semseg_train_smoke(data_env):
     from dgcnn_tpu.cli import semseg
 
