@@ -122,12 +122,11 @@ def _train_device_pipeline(args, io, state, train_step, eval_step,
                balanced_accuracy_score(t, p), rate)
         )
 
-        em = ev_fn(ev_arrays, state)
+        em = {k: np.asarray(v) for k, v in ev_fn(ev_arrays, state).items()}
         meter = MeterAccumulator()
         for i in range(ev_mask.shape[0]):
-            meter.add_cls(np.asarray(em["loss"])[i],
-                          np.asarray(em["preds"])[i],
-                          np.asarray(em["labels"])[i], ev_mask[i])
+            meter.add_cls(em["loss"][i], em["preds"][i], em["labels"][i],
+                          ev_mask[i])
         t, p = meter.concat()
         test_acc = accuracy_score(t, p)
         io.cprint(
@@ -162,9 +161,16 @@ def train(args, io: IOStream):
     train_step, eval_step = make_cls_steps(
         model, remat=getattr(args, "remat", False))
     if getattr(args, "device_pipeline", False):
-        _train_device_pipeline(args, io, state, train_step, eval_step,
-                               train_ds, test_ds, len(train_loader))
-        return
+        if len(train_ds) < args.batch_size:
+            io.cprint("device pipeline: dataset smaller than one batch — "
+                      "falling back to the host loader (which pads)")
+        else:
+            if len(devices) > 1:
+                io.cprint("device pipeline: epochs run on ONE device "
+                          "(the host-loader path shards over the mesh)")
+            _train_device_pipeline(args, io, state, train_step, eval_step,
+                                   train_ds, test_ds, len(train_loader))
+            return
     train_call = build_data_parallel_call(train_step, devices,
                                           args.batch_size, n_sharded=2,
                                           donate=True)
@@ -260,11 +266,11 @@ def test(args, io: IOStream):
             m["labels"] = batch["label"].squeeze(-1)
             return m
 
-        em = resident_epoch_fn(ev_batch)(arrays, state)
+        em = {k: np.asarray(v)  # one stacked readback
+              for k, v in resident_epoch_fn(ev_batch)(arrays, state).items()}
         for i in range(mask.shape[0]):
-            meter.add_cls(np.asarray(em["loss"])[i],
-                          np.asarray(em["preds"])[i],
-                          np.asarray(em["labels"])[i], mask[i])
+            meter.add_cls(em["loss"][i], em["preds"][i], em["labels"][i],
+                          mask[i])
     else:
         eval_call = build_data_parallel_call(eval_step, devices,
                                              args.test_batch_size,

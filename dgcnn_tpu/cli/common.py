@@ -30,11 +30,12 @@ def add_runtime_flags(parser: argparse.ArgumentParser) -> None:
         help="rematerialize the forward under grad (jax.checkpoint): trades "
              "FLOPs for activation memory on large N")
     parser.add_argument(
-        "--num_workers", type=int, default=0,
+        "--num_workers", type=int, default=None,
         help="input-pipeline worker processes (reference DataLoader "
              "num_workers=8, main_cls.py:45-48); 0 = inline vectorized "
              "batch assembly (data/pipeline.py — the right default for "
-             "few-core hosts)")
+             "few-core hosts).  Unset: the DGCNN_TPU_WORKERS env (0 if "
+             "absent); an explicit value overrides and resets the env")
     parser.add_argument(
         "--orbax", type=str2bool, default=False,
         help="use orbax for the partseg trainer's checkpoints — both the "
@@ -44,8 +45,11 @@ def add_runtime_flags(parser: argparse.ArgumentParser) -> None:
 
 
 def apply_runtime_flags(args) -> None:
-    if getattr(args, "num_workers", 0):
-        # make_loader (data/pipeline.py) reads this at construction time
+    if getattr(args, "num_workers", None) is not None:
+        # make_loader (data/pipeline.py) reads this at construction time;
+        # an explicit flag (including --num_workers=0) overrides and resets
+        # any value left by an earlier main() in the same process; with the
+        # flag unset the DGCNN_TPU_WORKERS env workflow keeps working
         os.environ["DGCNN_TPU_WORKERS"] = str(args.num_workers)
     if getattr(args, "debug_nans", False):
         from dgcnn_tpu.utils.profiling import enable_nan_debugging

@@ -80,7 +80,15 @@ def train(args, io: IOStream):
     train_step, eval_step = make_seg_steps(
         model, with_label=False, remat=getattr(args, "remat", False))
     dp_epoch = tr_arrays = None
+    if (getattr(args, "device_pipeline", False)
+            and len(train_ds) < args.batch_size):
+        io.cprint("device pipeline: dataset smaller than one batch — "
+                  "falling back to the host loader (which pads)")
+        args.device_pipeline = False
     if getattr(args, "device_pipeline", False):
+        if len(devices) > 1:
+            io.cprint("device pipeline: epochs run on ONE device "
+                      "(the host-loader path shards over the mesh)")
         from dgcnn_tpu.data.device_pipeline import (
             augment_partseg_plain,  # S3DIS train = same shuffle-with-seg
             dataset_to_device,

@@ -135,15 +135,23 @@ def resident_train_epoch_fn(step_fn, augment=None):
     def epoch(state, arrays, key, batch_size):
         m = next(iter(arrays.values())).shape[0]
         nb = m // batch_size
-        order = jax.random.permutation(jax.random.fold_in(key, 0), m)
+        if nb == 0:
+            raise ValueError(
+                f"resident epoch needs at least one full batch "
+                f"({m} samples < batch_size {batch_size}); use the host "
+                f"loader (which pads) for datasets this small")
+        # disjoint streams: shuffle / per-batch augmentation / step rngs
+        # (the step key is folded with state.step inside the engines)
+        kshuf, kaug, kstep = jax.random.split(key, 3)
+        order = jax.random.permutation(kshuf, m)
         order = order[: nb * batch_size].reshape(nb, batch_size)
 
         def body(st, inp):
             idxs, i = inp
             batch = {k: jnp.take(v, idxs, axis=0) for k, v in arrays.items()}
             if augment is not None:
-                batch = augment(jax.random.fold_in(key, 1 + i), batch)
-            return step_fn(st, batch, key)
+                batch = augment(jax.random.fold_in(kaug, i), batch)
+            return step_fn(st, batch, kstep)
 
         return jax.lax.scan(body, state, (order, jnp.arange(nb)))
 

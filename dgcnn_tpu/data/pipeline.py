@@ -12,9 +12,13 @@ grain-style pipeline built from three independent levers:
    this class of host — tools/ubench_loader.py) and needs no processes.
 2. **Worker processes** — ``num_workers > 0`` forks workers that assemble
    batches in parallel (datasets are inherited copy-on-write; results
-   stream back via an ordered imap).  Batch content is a pure function of
+   stream back via an ordered imap).  On the vectorized ``batch()`` path
+   (every shipped dataset) batch content is a pure function of
    (seed, epoch, batch_index), so outputs are IDENTICAL for any worker
-   count — scheduling cannot perturb training.
+   count — scheduling cannot perturb training.  The per-item fallback
+   (datasets without ``batch()``) draws augmentation from the dataset's
+   own rng, whose forked copies diverge with scheduling — use workers
+   there only for un-augmented (eval) iteration.
 3. **Device prefetch** — ``loader.device_iter()`` / ``device_prefetch``
    keeps a couple of batches in flight so H2D transfers overlap the step.
 

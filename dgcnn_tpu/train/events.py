@@ -138,11 +138,25 @@ class Metric:
     def compute(self):  # pragma: no cover - abstract
         raise NotImplementedError
 
+    def _source(self) -> "Metric":
+        """The object whose reset/update actually accumulate state.
+        Derived metrics (IoU/mIoU over a shared ConfusionMatrix) return
+        the shared source so attaching several of them to one engine
+        updates it exactly ONCE per iteration (ignite's MetricsLambda
+        dedupes its dependencies the same way)."""
+        return self
+
     def attach(self, engine: Engine, name: str) -> None:
-        engine.add_event_handler(Events.EPOCH_STARTED,
-                                 lambda e: self.reset())
-        engine.add_event_handler(Events.ITERATION_COMPLETED,
-                                 lambda e: self.update(e.state.output))
+        src = self._source()
+        attached = getattr(engine, "_metric_sources", None)
+        if attached is None:
+            attached = engine._metric_sources = set()
+        if id(src) not in attached:  # one update per shared source
+            attached.add(id(src))
+            engine.add_event_handler(Events.EPOCH_STARTED,
+                                     lambda e: src.reset())
+            engine.add_event_handler(Events.ITERATION_COMPLETED,
+                                     lambda e: src.update(e.state.output))
         engine.add_event_handler(
             Events.EPOCH_COMPLETED,
             lambda e: e.state.metrics.__setitem__(name, self.compute()))
@@ -159,13 +173,15 @@ class ConfusionMatrix(Metric):
         self.cm = np.zeros((self.num_classes, self.num_classes), np.int64)
 
     def update(self, output: Dict[str, Any]) -> None:
+        y_arr = np.asarray(output["y"])
         preds = np.asarray(output["preds"]).reshape(-1)
-        y = np.asarray(output["y"]).reshape(-1)
+        y = y_arr.reshape(-1)
         mask = output.get("mask")
         if mask is not None:
-            keep = np.broadcast_to(
-                np.asarray(mask).reshape(-1, 1),
-                np.asarray(output["y"]).shape).reshape(-1).astype(bool)
+            m = np.asarray(mask).astype(bool)
+            # (B,) row mask against (B,) cls or (B, N, ...) seg targets
+            m = m.reshape(m.shape + (1,) * (y_arr.ndim - m.ndim))
+            keep = np.broadcast_to(m, y_arr.shape).reshape(-1)
             preds, y = preds[keep], y[keep]
         idx = y * self.num_classes + preds
         self.cm += np.bincount(
@@ -182,6 +198,9 @@ class IoU(Metric):
 
     def __init__(self, cm: ConfusionMatrix):
         self.cm_metric = cm
+
+    def _source(self) -> Metric:
+        return self.cm_metric
 
     def reset(self) -> None:
         self.cm_metric.reset()
@@ -291,7 +310,7 @@ class ModelCheckpoint:
         self.score_function = score_function
         self.score_name = score_name
         self.global_step_transform = global_step_transform
-        self._saved: List[Tuple[float, str]] = []
+        self._saved: List[Tuple[float, List[str]]] = []
         if require_empty and os.path.isdir(dirname) and os.listdir(dirname):
             raise ValueError(
                 f"checkpoint dir {dirname!r} is not empty "
@@ -306,6 +325,7 @@ class ModelCheckpoint:
             return
         step = (self.global_step_transform(engine, Events.EPOCH_COMPLETED)
                 if self.global_step_transform else engine.state.iteration)
+        paths = []
         for name, variables in to_save.items():
             parts = [p for p in (self.prefix, name, str(step)) if p]
             fname = "_".join(parts)
@@ -313,16 +333,20 @@ class ModelCheckpoint:
                 fname += f"_{self.score_name}={score:.4f}"
             path = os.path.join(self.dirname, fname + ".ckpt")
             save_model(path, variables)
-            self._saved.append((score, path))
+            paths.append(path)
+        # one slot per CALL (a checkpoint GROUP, like ignite): a multi-object
+        # to_save is retained or pruned as a unit, never half-deleted
+        self._saved.append((score, paths))
         self._saved.sort(key=lambda sp: sp[0], reverse=True)
         while len(self._saved) > self.n_saved:
-            _, stale = self._saved.pop()
-            if os.path.exists(stale):
-                os.remove(stale)
+            _, stale_paths = self._saved.pop()
+            for stale in stale_paths:
+                if os.path.exists(stale):
+                    os.remove(stale)
 
     @property
     def last_checkpoint(self) -> Optional[str]:
-        return self._saved[0][1] if self._saved else None
+        return self._saved[0][1][0] if self._saved else None
 
 
 class TensorboardLogger:

@@ -89,6 +89,55 @@ def test_confusion_matrix_respects_mask():
     assert cm.compute()[0, 0] == 1 and cm.compute()[1, 1] == 1
 
 
+def test_confusion_matrix_mask_with_1d_targets():
+    """Classification-shaped (B,) y with a (B,) row mask must drop padded
+    rows instead of crashing on broadcast."""
+    cm = ConfusionMatrix(3)
+    cm.reset()
+    cm.update({"preds": np.array([0, 1, 2, 2]), "y": np.array([0, 1, 1, 0]),
+               "mask": np.array([1, 1, 1, 0])})
+    assert cm.compute().sum() == 3
+    assert cm.compute()[0, 0] == 1 and cm.compute()[1, 1] == 1
+
+
+def test_shared_cm_metrics_update_once():
+    """IoU + mIoU + the cm itself attached over ONE ConfusionMatrix update
+    it once per iteration (ignite dedupes derived-metric sources)."""
+    from dgcnn_tpu.train.events import IoU, mIoU
+
+    cm = ConfusionMatrix(2)
+    engine = Engine(lambda e, b: b)
+    cm.attach(engine, "cm")
+    IoU(cm).attach(engine, "IoU")
+    mIoU(cm).attach(engine, "mIoU")
+    out = {"preds": np.array([0, 1]), "y": np.array([0, 0])}
+    engine.run([out], max_epochs=1)
+    assert engine.state.metrics["cm"].sum() == 2   # not 6
+    np.testing.assert_allclose(engine.state.metrics["IoU"], [0.5, 0.0])
+    assert engine.state.metrics["mIoU"] == 0.25
+
+
+def test_model_checkpoint_prunes_whole_groups(tmp_path):
+    """A multi-object to_save is retained/pruned as a unit: n_saved counts
+    checkpoint GROUPS, so no step ever loses half its state."""
+    engine = Engine(lambda e, b: b)
+    ckpt = ModelCheckpoint(
+        str(tmp_path / "ck"), filename_prefix="g", n_saved=2,
+        score_function=lambda e: e.state.metrics["IoU"], score_name="IoU",
+        require_empty=False,
+        global_step_transform=global_step_from_engine(engine))
+    weights = {"params": {"w": np.zeros(2, np.float32)}}
+    for epoch, score in enumerate([0.2, 0.5, 0.9], start=1):
+        engine.state.epoch = epoch
+        engine.state.metrics["IoU"] = score
+        ckpt(engine, {"model": weights, "opt": weights})
+    names = sorted(os.listdir(tmp_path / "ck"))
+    assert len(names) == 4  # 2 groups x 2 files, never a half group
+    for step, score in ((2, "0.5000"), (3, "0.9000")):
+        for part in ("model", "opt"):
+            assert f"g_{part}_{step}_IoU={score}.ckpt" in names
+
+
 def test_model_checkpoint_retains_n_best(tmp_path):
     engine = Engine(lambda e, b: b)
     engine.state.metrics["IoU"] = 0.0
