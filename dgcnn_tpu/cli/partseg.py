@@ -192,6 +192,22 @@ def train(args, io: IOStream):
             return st, met
 
         dp_epoch = resident_train_epoch_fn(_dp_step, aug)
+
+        from dgcnn_tpu.data.pipeline import resident_epoch_fn
+
+        ev_arrays, ev_mask = test_loader.device_resident()
+        ev_arrays["mask"] = jax.device_put(ev_mask)
+
+        def _dp_eval(batch, st):
+            seg = batch["seg"] - seg_start_index
+            lbl1h = jax.nn.one_hot(batch["label"].squeeze(-1),
+                                   NUM_CATEGORIES, dtype=jnp.float32)
+            m = eval_step(st, batch["points"], lbl1h, seg, batch["mask"])
+            m["seg"] = seg
+            m["label"] = batch["label"].squeeze(-1)
+            return m
+
+        dp_eval_fn = resident_epoch_fn(_dp_eval)
     train_call = build_data_parallel_call(train_step, devices,
                                           args.batch_size, n_sharded=3,
                                           donate=True)
@@ -231,7 +247,16 @@ def train(args, io: IOStream):
                balanced_accuracy_score(t, p), float(np.mean(ious)))
         )
 
-        meter = run_epoch_eval(eval_call, state, test_loader, seg_start_index)
+        if dp_epoch is not None:
+            em = {k: np.asarray(v)  # one stacked readback
+                  for k, v in dp_eval_fn(ev_arrays, state).items()}
+            meter = MeterAccumulator()
+            for i in range(ev_mask.shape[0]):
+                meter.add_seg(em["loss"][i], em["preds"][i], em["seg"][i],
+                              em["label"][i], ev_mask[i])
+        else:
+            meter = run_epoch_eval(eval_call, state, test_loader,
+                                   seg_start_index)
         t, p = meter.concat()
         ts, ps, ls = meter.concat_seg()
         ious = calculate_shape_IoU(ps, ts, ls, args.class_choice)

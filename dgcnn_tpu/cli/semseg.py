@@ -103,6 +103,18 @@ def train(args, io: IOStream):
             return st, met
 
         dp_epoch = resident_train_epoch_fn(_dp_step, augment_partseg_plain)
+
+        from dgcnn_tpu.data.pipeline import resident_epoch_fn
+
+        ev_arrays, ev_mask = test_loader.device_resident()
+        ev_arrays["mask"] = jax.device_put(ev_mask)
+
+        def _dp_eval(batch, st):
+            m = eval_step(st, batch["points"], batch["seg"], batch["mask"])
+            m["seg"] = batch["seg"]
+            return m
+
+        dp_eval_fn = resident_epoch_fn(_dp_eval)
     train_call = build_data_parallel_call(train_step, devices,
                                           args.batch_size, n_sharded=2,
                                           donate=True)
@@ -142,10 +154,18 @@ def train(args, io: IOStream):
         )
 
         meter = MeterAccumulator()
-        for batch in device_prefetch(iter(test_loader)):
-            m = eval_call(state, batch["points"], batch["seg"], batch["mask"])
-            meter.add_seg(m["loss"], np.asarray(m["preds"]), batch["seg"],
-                          None, np.asarray(batch["mask"]))
+        if dp_epoch is not None:
+            em = {k: np.asarray(v)  # one stacked readback
+                  for k, v in dp_eval_fn(ev_arrays, state).items()}
+            for i in range(ev_mask.shape[0]):
+                meter.add_seg(em["loss"][i], em["preds"][i], em["seg"][i],
+                              None, ev_mask[i])
+        else:
+            for batch in device_prefetch(iter(test_loader)):
+                m = eval_call(state, batch["points"], batch["seg"],
+                              batch["mask"])
+                meter.add_seg(m["loss"], np.asarray(m["preds"]),
+                              batch["seg"], None, np.asarray(batch["mask"]))
         t, p = meter.concat()
         ts, ps, _ = meter.concat_seg()
         ious = calculate_sem_IoU(ps, ts)
