@@ -64,12 +64,14 @@ def init_state(args, model, steps_per_epoch: int, rng):
 
 
 def _train_device_pipeline(args, io, state, train_step, eval_step,
-                           train_ds, test_ds, steps_per_epoch):
+                           train_ds, test_ds, steps_per_epoch, devices):
     """Fully on-device training loop (``--device_pipeline=True``): the raw
     train set lives in HBM; per-epoch shuffle, batch gather, augmentation
     and every optimizer step run inside ONE jitted ``lax.scan``
     (data/device_pipeline.py), so each epoch costs a single dispatch and a
-    single metrics readback.  Same metric strings / best-model gate as the
+    single metrics readback.  On a multi-device host, batches are
+    sharding-constrained over the mesh so GSPMD data-parallelism matches
+    the host-loader path.  Same metric strings / best-model gate as the
     host path; augmentation matches the reference distributions but draws
     from the JAX RNG stream (documented deviation)."""
     from dgcnn_tpu.data.device_pipeline import (
@@ -79,6 +81,13 @@ def _train_device_pipeline(args, io, state, train_step, eval_step,
     )
     from dgcnn_tpu.data.pipeline import resident_epoch_fn
 
+    def mesh_for(batch_size):
+        if len(devices) > 1 and batch_size % len(devices) == 0:
+            from dgcnn_tpu.parallel import make_mesh
+
+            return make_mesh(devices)
+        return None
+
     tr_arrays = dataset_to_device(train_ds, args.num_points)
 
     def step(st, batch, rng):
@@ -86,7 +95,8 @@ def _train_device_pipeline(args, io, state, train_step, eval_step,
         met["labels"] = batch["label"]
         return st, met
 
-    epoch_fn = resident_train_epoch_fn(step, augment_cls)
+    epoch_fn = resident_train_epoch_fn(step, augment_cls,
+                                       mesh=mesh_for(args.batch_size))
 
     test_loader = make_loader(test_ds, ["points", "label"],
                               batch_size=args.test_batch_size, shuffle=True,
@@ -100,7 +110,7 @@ def _train_device_pipeline(args, io, state, train_step, eval_step,
         m["labels"] = batch["label"].squeeze(-1)
         return m
 
-    ev_fn = resident_epoch_fn(ev_batch)
+    ev_fn = resident_epoch_fn(ev_batch, mesh=mesh_for(args.test_batch_size))
 
     best_test_acc = 0.0
     tput = ThroughputMeter()
@@ -165,11 +175,9 @@ def train(args, io: IOStream):
             io.cprint("device pipeline: dataset smaller than one batch — "
                       "falling back to the host loader (which pads)")
         else:
-            if len(devices) > 1:
-                io.cprint("device pipeline: epochs run on ONE device "
-                          "(the host-loader path shards over the mesh)")
             _train_device_pipeline(args, io, state, train_step, eval_step,
-                                   train_ds, test_ds, len(train_loader))
+                                   train_ds, test_ds, len(train_loader),
+                                   devices)
             return
     train_call = build_data_parallel_call(train_step, devices,
                                           args.batch_size, n_sharded=2,

@@ -86,9 +86,6 @@ def train(args, io: IOStream):
                   "falling back to the host loader (which pads)")
         args.device_pipeline = False
     if getattr(args, "device_pipeline", False):
-        if len(devices) > 1:
-            io.cprint("device pipeline: epochs run on ONE device "
-                      "(the host-loader path shards over the mesh)")
         from dgcnn_tpu.data.device_pipeline import (
             augment_partseg_plain,  # S3DIS train = same shuffle-with-seg
             dataset_to_device,
@@ -102,7 +99,15 @@ def train(args, io: IOStream):
             met["seg"] = batch["seg"]
             return st, met
 
-        dp_epoch = resident_train_epoch_fn(_dp_step, augment_partseg_plain)
+        def _mesh_for(batch_size):
+            if len(devices) > 1 and batch_size % len(devices) == 0:
+                from dgcnn_tpu.parallel import make_mesh
+
+                return make_mesh(devices)
+            return None
+
+        dp_epoch = resident_train_epoch_fn(_dp_step, augment_partseg_plain,
+                                           mesh=_mesh_for(args.batch_size))
 
         from dgcnn_tpu.data.pipeline import resident_epoch_fn
 
@@ -114,7 +119,8 @@ def train(args, io: IOStream):
             m["seg"] = batch["seg"]
             return m
 
-        dp_eval_fn = resident_epoch_fn(_dp_eval)
+        dp_eval_fn = resident_epoch_fn(
+            _dp_eval, mesh=_mesh_for(args.test_batch_size))
     train_call = build_data_parallel_call(train_step, devices,
                                           args.batch_size, n_sharded=2,
                                           donate=True)

@@ -20,8 +20,6 @@ and identical in distribution.  The host pipeline stays the default;
 """
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 
@@ -115,7 +113,7 @@ def augment_partseg_augmented(key: jax.Array, batch: dict) -> dict:
 # ------------------------------------------------------------ epoch runner
 
 
-def resident_train_epoch_fn(step_fn, augment=None):
+def resident_train_epoch_fn(step_fn, augment=None, mesh=None):
     """Build a jitted whole-epoch trainer over a device-resident dataset.
 
     ``step_fn(state, batch, rng) -> (state, metrics)`` consumes one
@@ -128,11 +126,22 @@ def resident_train_epoch_fn(step_fn, augment=None):
     gathers + augments each batch on device, and folds ``step_fn`` over
     all batches with ``lax.scan``, returning ``(state, stacked_metrics)``.
     Hold on to the returned function — it owns the jit cache.
-    """
 
-    @functools.partial(jax.jit, static_argnames=("batch_size",),
-                       donate_argnums=(0,))
-    def epoch(state, arrays, key, batch_size):
+    ``mesh``: a 1-D data-parallel :class:`jax.sharding.Mesh`.  The dataset
+    and state are replicated and each gathered batch is sharding-
+    constrained on its leading axis, so GSPMD runs every step data-
+    parallel with the gradient all-reduce and global-batch BN moments
+    inserted automatically — the same semantics as the host-loader path's
+    ``jit_data_parallel`` (parallel/data_parallel.py), now for whole
+    epochs.  ``batch_size`` must divide the mesh size.
+    """
+    if mesh is not None:
+        from dgcnn_tpu.parallel.mesh import batch_sharding, replicated
+
+        data_sh = batch_sharding(mesh)
+        repl = replicated(mesh)
+
+    def _epoch(state, arrays, key, batch_size):
         m = next(iter(arrays.values())).shape[0]
         nb = m // batch_size
         if nb == 0:
@@ -151,11 +160,19 @@ def resident_train_epoch_fn(step_fn, augment=None):
             batch = {k: jnp.take(v, idxs, axis=0) for k, v in arrays.items()}
             if augment is not None:
                 batch = augment(jax.random.fold_in(kaug, i), batch)
+            if mesh is not None:  # data-parallel step over the mesh
+                batch = {k: jax.lax.with_sharding_constraint(v, data_sh)
+                         for k, v in batch.items()}
             return step_fn(st, batch, kstep)
 
         return jax.lax.scan(body, state, (order, jnp.arange(nb)))
 
-    return epoch
+    if mesh is None:
+        return jax.jit(_epoch, static_argnames=("batch_size",),
+                       donate_argnums=(0,))
+    return jax.jit(_epoch, static_argnames=("batch_size",),
+                   donate_argnums=(0,),
+                   in_shardings=(repl, repl, repl))
 
 
 def dataset_to_device(ds, num_points: int | None = None) -> dict:

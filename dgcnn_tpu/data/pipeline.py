@@ -196,7 +196,7 @@ class PipelineLoader:
         return arrays, np.stack(masks)
 
 
-def resident_epoch_fn(step_fn):
+def resident_epoch_fn(step_fn, mesh=None):
     """Build a jitted whole-epoch runner over a
     :meth:`PipelineLoader.device_resident` epoch.
 
@@ -206,8 +206,17 @@ def resident_epoch_fn(step_fn):
     per-batch outputs to ``(num_batches, ...)`` device arrays — one XLA
     program per epoch, batches stream from HBM, nothing touches the host.
     Reuse the returned function across epochs: it owns the jit cache.
+
+    ``mesh``: optional 1-D data-parallel mesh — each scanned batch is
+    sharding-constrained on its leading (batch) axis so GSPMD runs the
+    step data-parallel (see device_pipeline.resident_train_epoch_fn).
     """
     import jax
+
+    if mesh is not None:
+        from dgcnn_tpu.parallel.mesh import batch_sharding
+
+        data_sh = batch_sharding(mesh)
 
     @jax.jit
     def epoch_impl(arrs, extra):
@@ -215,6 +224,9 @@ def resident_epoch_fn(step_fn):
 
         def body(carry, sl):
             batch = dict(zip(names, sl))
+            if mesh is not None:
+                batch = {k: jax.lax.with_sharding_constraint(v, data_sh)
+                         for k, v in batch.items()}
             return carry, step_fn(batch, *extra)
 
         _, outs = jax.lax.scan(body, 0, tuple(arrs[n] for n in names))
