@@ -274,8 +274,16 @@ def test(args, io: IOStream):
             m["labels"] = batch["label"].squeeze(-1)
             return m
 
+        mesh = None
+        if len(devices) > 1 and args.test_batch_size % len(devices) == 0:
+            # shard the scanned batches like the per-batch eval path does —
+            # same GSPMD reduction order, bit-identical metrics
+            from dgcnn_tpu.parallel import make_mesh
+
+            mesh = make_mesh(devices)
         em = {k: np.asarray(v)  # one stacked readback
-              for k, v in resident_epoch_fn(ev_batch)(arrays, state).items()}
+              for k, v in resident_epoch_fn(ev_batch, mesh=mesh)(
+                  arrays, state).items()}
         for i in range(mask.shape[0]):
             meter.add_cls(em["loss"][i], em["preds"][i], em["labels"][i],
                           mask[i])

@@ -306,14 +306,50 @@ def test(args, io: IOStream):
         tx=make_optimizer(use_sgd=True, schedule=lambda _: 0.0),
     )
     _, eval_step = make_seg_steps(model)
-    eval_call = build_data_parallel_call(eval_step, devices,
-                                         args.test_batch_size, n_sharded=4)
     visualizer = PartSegVisualizer(
         f"outputs/{args.exp_name}", args.visu, args.visu_format,
         test_ds.partseg_colors, args.class_choice,
     )
-    meter = run_epoch_eval(eval_call, state, loader,
-                           test_ds.seg_start_index, visualizer)
+    if getattr(args, "device_pipeline", False) and args.visu:
+        # visualization reads every batch back on the host anyway
+        io.cprint("device pipeline: --visu set — using the host loader")
+    if getattr(args, "device_pipeline", False) and not args.visu:
+        # eval-only resident path (mirrors the train loop): one H2D for
+        # the whole test set, one lax.scan epoch, one stacked readback
+        from dgcnn_tpu.data.pipeline import resident_epoch_fn
+
+        arrays, mask = loader.device_resident()
+        arrays["mask"] = jax.device_put(mask)
+        seg_start_index = test_ds.seg_start_index
+
+        def _dp_eval(batch, st):
+            seg = batch["seg"] - seg_start_index
+            lbl1h = jax.nn.one_hot(batch["label"].squeeze(-1),
+                                   NUM_CATEGORIES, dtype=jnp.float32)
+            m = eval_step(st, batch["points"], lbl1h, seg, batch["mask"])
+            m["seg"] = seg
+            m["label"] = batch["label"].squeeze(-1)
+            return m
+
+        mesh = None
+        if len(devices) > 1 and args.test_batch_size % len(devices) == 0:
+            # shard the scanned batches like the per-batch eval path does —
+            # same GSPMD reduction order, bit-identical metrics
+            from dgcnn_tpu.parallel import make_mesh
+
+            mesh = make_mesh(devices)
+        em = {k: np.asarray(v)  # one stacked readback
+              for k, v in resident_epoch_fn(_dp_eval, mesh=mesh)(
+                  arrays, state).items()}
+        meter = MeterAccumulator()
+        for i in range(mask.shape[0]):
+            meter.add_seg(em["loss"][i], em["preds"][i], em["seg"][i],
+                          em["label"][i], mask[i])
+    else:
+        eval_call = build_data_parallel_call(eval_step, devices,
+                                             args.test_batch_size, n_sharded=4)
+        meter = run_epoch_eval(eval_call, state, loader,
+                               test_ds.seg_start_index, visualizer)
     visualizer.warn_if_unmatched()
     t, p = meter.concat()
     ts, ps, ls = meter.concat_seg()

@@ -218,6 +218,27 @@ def test(args, io: IOStream):
         _, eval_step = make_seg_steps(model, with_label=False)
         eval_call = build_data_parallel_call(eval_step, devices,
                                              args.test_batch_size, n_sharded=3)
+    dp_eval_fn = None
+    if (getattr(args, "device_pipeline", False) and not args.visu
+            and not getattr(args, "point_shard", False)):
+        # eval-only resident path (mirrors the train loop): one H2D per
+        # area, one lax.scan epoch, one stacked readback.  --visu needs
+        # the per-batch host readbacks; --point_shard shards N, not batch.
+        from dgcnn_tpu.data.pipeline import resident_epoch_fn
+
+        def _dp_eval(batch, st):
+            m = eval_step(st, batch["points"], batch["seg"], batch["mask"])
+            m["seg"] = batch["seg"]
+            return m
+
+        mesh = None
+        if len(devices) > 1 and args.test_batch_size % len(devices) == 0:
+            # shard the scanned batches like the per-batch eval path does —
+            # same GSPMD reduction order, bit-identical metrics
+            from dgcnn_tpu.parallel import make_mesh
+
+            mesh = make_mesh(devices)
+        dp_eval_fn = resident_epoch_fn(_dp_eval, mesh=mesh)
     for area in areas:
         if args.test_area == "all" or area == args.test_area:
             test_ds = S3DIS(args.num_points, "test", area, seed=args.seed)
@@ -259,15 +280,25 @@ def test(args, io: IOStream):
                     index_offset=offset,
                 )
             meter = MeterAccumulator()
-            for batch in device_prefetch(iter(loader)):
-                m = eval_call(state, batch["points"], batch["seg"], batch["mask"])
-                mask = np.asarray(batch["mask"])
-                meter.add_seg(m["loss"], np.asarray(m["preds"]),
-                              batch["seg"], None, mask)
-                if visualizer is not None:
-                    visualizer(np.asarray(batch["points"])[mask],
-                               np.asarray(batch["seg"])[mask],
-                               np.asarray(m["preds"])[mask])
+            if dp_eval_fn is not None:
+                arrays, mask2d = loader.device_resident()
+                arrays["mask"] = jax.device_put(mask2d)
+                em = {k: np.asarray(v)  # one stacked readback
+                      for k, v in dp_eval_fn(arrays, state).items()}
+                for i in range(mask2d.shape[0]):
+                    meter.add_seg(em["loss"][i], em["preds"][i],
+                                  em["seg"][i], None, mask2d[i])
+            else:
+                for batch in device_prefetch(iter(loader)):
+                    m = eval_call(state, batch["points"], batch["seg"],
+                                  batch["mask"])
+                    mask = np.asarray(batch["mask"])
+                    meter.add_seg(m["loss"], np.asarray(m["preds"]),
+                                  batch["seg"], None, mask)
+                    if visualizer is not None:
+                        visualizer(np.asarray(batch["points"])[mask],
+                                   np.asarray(batch["seg"])[mask],
+                                   np.asarray(m["preds"])[mask])
             if visualizer is not None:
                 visualizer.warn_if_unmatched()
             t, p = meter.concat()

@@ -122,6 +122,16 @@ def test_partseg_device_pipeline_train(data_env):
     log = open("outputs/smoke_part_dp/run.log").read()
     assert "train iou:" in log and "test iou:" in log
 
+    # eval-only resident path == per-batch eval on the same checkpoint
+    eval_argv = ["--eval=True", "--model_path=models/transformer_0.checkpoint"]
+    partseg.main(argv + eval_argv)
+    partseg.main([a for a in argv if not a.startswith("--device_pipeline")]
+                 + eval_argv)
+    lines = [ln for ln in
+             open("outputs/smoke_part_dp/run.log").read().splitlines()
+             if ln.startswith("Test: test acc:")]
+    assert len(lines) >= 2 and lines[-1] == lines[-2], lines[-2:]
+
 
 def test_semseg_device_pipeline_train(data_env):
     """--device_pipeline=True on semseg: resident lax.scan train epoch
@@ -137,6 +147,16 @@ def test_semseg_device_pipeline_train(data_env):
     assert os.path.exists("outputs/smoke_sem_dp/models/model_6.t7.msgpack")
     log = open("outputs/smoke_sem_dp/run.log").read()
     assert "train iou:" in log and "test iou:" in log
+
+    # eval-only resident path == per-batch eval on the same checkpoint
+    eval_argv = ["--eval=True", "--model_root=outputs/smoke_sem_dp/models"]
+    semseg.main(argv + eval_argv)
+    semseg.main([a for a in argv if not a.startswith("--device_pipeline")]
+                + eval_argv)
+    lines = [ln for ln in
+             open("outputs/smoke_sem_dp/run.log").read().splitlines()
+             if "test area: 6" in ln]
+    assert len(lines) >= 2 and lines[-1] == lines[-2], lines[-2:]
 
 
 def test_semseg_train_smoke(data_env):
