@@ -302,6 +302,19 @@ def test(args, io: IOStream):
         "Test :: test acc: %.6f, test avg acc: %.6f"
         % (accuracy_score(t, p), balanced_accuracy_score(t, p))
     )
+    if getattr(args, "export_model", ""):
+        # AOT serving artifact: the eval forward with these weights baked
+        # in, serialized StableHLO — self-contained (dgcnn_tpu/export.py)
+        from dgcnn_tpu.export import export_model, save_exported
+
+        ex = export_model(
+            model, {"params": state.params,
+                    "batch_stats": state.batch_stats},
+            (jnp.zeros((args.test_batch_size, args.num_points, 3),
+                       jnp.float32),))
+        save_exported(args.export_model, ex)
+        io.cprint(f"Exported serving artifact ({ex.platforms[0]}, batch "
+                  f"{args.test_batch_size}) to {args.export_model}")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -330,6 +343,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--emb_dims", type=int, default=1024, metavar="N")
     parser.add_argument("--k", type=int, default=20, metavar="N")
     parser.add_argument("--model_path", type=str, default="", metavar="N")
+    parser.add_argument("--export_model", type=str, default="", metavar="PATH",
+                        help="TPU-native extension: after --eval, write an "
+                             "AOT serving artifact (StableHLO with weights "
+                             "baked in) to PATH — loadable without any "
+                             "model code via dgcnn_tpu.export.load_exported")
     parser.add_argument("--device_pipeline", type=str2bool, default=False,
                         help="TPU-native extension: keep the dataset "
                              "resident in HBM and run each train epoch as "

@@ -1,0 +1,92 @@
+"""AOT model export for serving (StableHLO via ``jax.export``).
+
+The reference has no deployment story beyond pickled torch checkpoints —
+serving it requires the full Python model zoo at load time.  The TPU-native
+equivalent is an ahead-of-time **exported artifact**: the jitted eval
+forward (fused Pallas kernels included as Mosaic custom-calls) serialized
+to portable StableHLO with the trained parameters baked in as constants.
+The artifact is self-contained — deserializing and calling it needs jax but
+NONE of this package's model code — and is what a production inference
+server should load.
+
+Notes:
+
+* Artifacts are platform-checked: an artifact exported under the TPU
+  lowering only runs on TPU (Mosaic custom-calls), a CPU export runs on
+  CPU (the kernels' XLA fallback path).  ``platforms`` defaults to the
+  current backend.
+* Shapes are static (the fused kernels are compiled per shape): export at
+  the serving batch size, or export several batch sizes side by side with
+  :func:`export_batches`.
+* ``call_exported``/the loaded callable re-traces nothing: calling it goes
+  straight to XLA compilation of the recorded StableHLO.
+"""
+from __future__ import annotations
+
+import os
+from typing import Callable, Sequence
+
+MAGIC = b"DGCNN_TPU_EXPORT\x00"
+
+
+def export_eval_fn(apply_fn: Callable, variables: dict, example_args,
+                   platforms: Sequence[str] | None = None):
+    """Export ``apply_fn({"params", "batch_stats"}, *args, train=False)``
+    as a :class:`jax.export.Exported` with ``variables`` baked in.
+
+    ``example_args``: arrays or ShapeDtypeStructs defining the serving
+    signature (batch size, point count, extra inputs such as the partseg
+    category one-hot).
+    """
+    import jax
+    from jax import export as jex
+
+    def forward(*args):
+        return apply_fn(variables, *args, train=False)
+
+    fn = jax.jit(forward)
+    shapes = tuple(
+        jax.ShapeDtypeStruct(a.shape, a.dtype) for a in example_args)
+    kwargs = {"platforms": list(platforms)} if platforms else {}
+    return jex.export(fn, **kwargs)(*shapes)
+
+
+def save_exported(path: str, exported) -> None:
+    """Serialize an Exported to ``path`` (atomic write)."""
+    blob = exported.serialize()
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(MAGIC)
+        f.write(blob)
+    os.replace(tmp, path)
+
+
+def load_exported(path: str) -> Callable:
+    """Load an artifact written by :func:`save_exported`; returns a callable
+    ``fn(*args) -> outputs`` (no model code needed)."""
+    from jax import export as jex
+
+    with open(path, "rb") as f:
+        data = f.read()
+    if not data.startswith(MAGIC):
+        raise ValueError(f"{path} is not a dgcnn-tpu export artifact")
+    exported = jex.deserialize(data[len(MAGIC):])
+    return exported.call
+
+
+def export_model(model, variables: dict, example_args,
+                 platforms: Sequence[str] | None = None):
+    """Convenience wrapper over :func:`export_eval_fn` for a flax module."""
+    return export_eval_fn(model.apply, variables, example_args, platforms)
+
+
+def export_batches(model, variables: dict, make_args: Callable[[int], tuple],
+                   batch_sizes: Sequence[int],
+                   platforms: Sequence[str] | None = None) -> dict:
+    """Export one artifact per serving batch size (the fused kernels use
+    static shapes); ``make_args(b)`` builds the example args for batch b.
+    Returns {batch_size: Exported}."""
+    return {
+        b: export_model(model, variables, make_args(b), platforms)
+        for b in batch_sizes
+    }

@@ -43,9 +43,18 @@ def test_cls_train_and_eval_roundtrip(data_env):
     log = open("outputs/smoke_cls/run.log").read()
     assert "Train 0" in log and "Test 0" in log
 
-    cls.main(argv + ["--eval=True", f"--model_path={model_path}"])
+    cls.main(argv + ["--eval=True", f"--model_path={model_path}",
+                     "--export_model=smoke_cls.stablehlo"])
     log = open("outputs/smoke_cls/run.log").read()
     assert "Test :: test acc:" in log
+
+    # --export_model wrote a loadable AOT serving artifact
+    assert "Exported serving artifact" in log
+    from dgcnn_tpu.export import load_exported
+
+    fn = load_exported("smoke_cls.stablehlo")
+    out = fn(np.zeros((8, 64, 3), np.float32))
+    assert np.asarray(out).shape == (8, 40)
 
 
 def test_cls_device_pipeline_train_and_eval(data_env):
