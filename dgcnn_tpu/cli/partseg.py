@@ -359,6 +359,21 @@ def test(args, io: IOStream):
         % (accuracy_score(t, p), balanced_accuracy_score(t, p),
            float(np.mean(ious)))
     )
+    if getattr(args, "export_model", ""):
+        # AOT serving artifact (see dgcnn_tpu/export.py): forward takes
+        # (points, category one-hot) like the reference Net
+        from dgcnn_tpu.export import export_model, save_exported
+
+        ex = export_model(
+            model, {"params": state.params,
+                    "batch_stats": state.batch_stats},
+            (jnp.zeros((args.test_batch_size, args.num_points, 3),
+                       jnp.float32),
+             jnp.zeros((args.test_batch_size, NUM_CATEGORIES),
+                       jnp.float32)))
+        save_exported(args.export_model, ex)
+        io.cprint(f"Exported serving artifact ({ex.platforms[0]}, batch "
+                  f"{args.test_batch_size}) to {args.export_model}")
 
 
 def load_variables_any(path: str, args):
@@ -437,6 +452,11 @@ def build_parser(dist: bool = False) -> argparse.ArgumentParser:
     parser.add_argument("--grad_accum", type=int, default=1,
                         help="gradient accumulation steps (the reference's "
                              "commented accum_iter)")
+    parser.add_argument("--export_model", type=str, default="", metavar="PATH",
+                        help="TPU-native extension: after --eval, write an "
+                             "AOT serving artifact (StableHLO with weights "
+                             "baked in) to PATH — loadable without any "
+                             "model code via dgcnn_tpu.export.load_exported")
     parser.add_argument("--device_pipeline", type=str2bool, default=False,
                         help="TPU-native extension: keep the train set "
                              "resident in HBM and run each train epoch as "

@@ -314,6 +314,23 @@ def test(args, io: IOStream):
             all_pred.append(p)
             all_true_seg.append(ts)
             all_pred_seg.append(ps)
+            if getattr(args, "export_model", ""):
+                # AOT serving artifact per area model (dgcnn_tpu/export.py);
+                # with --test_area=all the area id lands in the filename
+                from dgcnn_tpu.export import export_model, save_exported
+
+                path = args.export_model
+                if args.test_area == "all":
+                    root, ext = os.path.splitext(path)
+                    path = f"{root}_{area}{ext}"
+                ex = export_model(
+                    model, {"params": state.params,
+                            "batch_stats": state.batch_stats},
+                    (jnp.zeros((args.test_batch_size, args.num_points, 9),
+                               jnp.float32),))
+                save_exported(path, ex)
+                io.cprint(f"Exported serving artifact ({ex.platforms[0]}, "
+                          f"batch {args.test_batch_size}) to {path}")
     if args.test_area == "all":
         t = np.concatenate(all_true)
         p = np.concatenate(all_pred)
@@ -364,6 +381,12 @@ def build_parser() -> argparse.ArgumentParser:
                              "must divide by the device count; uses the "
                              "XLA compute path — the fused Pallas kernels "
                              "are shard-local)")
+    parser.add_argument("--export_model", type=str, default="", metavar="PATH",
+                        help="TPU-native extension: after --eval, write an "
+                             "AOT serving artifact per area model "
+                             "(StableHLO with weights baked in) — loadable "
+                             "without any model code via "
+                             "dgcnn_tpu.export.load_exported")
     parser.add_argument("--device_pipeline", type=str2bool, default=False,
                         help="TPU-native extension: keep the train blocks "
                              "resident in HBM and run each train epoch as "

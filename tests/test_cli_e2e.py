@@ -109,9 +109,18 @@ def test_partseg_train_then_eval_with_visu(data_env):
     # outputs/<exp>/<model_path> resolution (cli/partseg.py test())
     assert os.path.exists("outputs/smoke_part/models/transformer_0.checkpoint")
     partseg.main(argv + ["--eval=True",
-                         "--model_path=models/transformer_0.checkpoint"])
+                         "--model_path=models/transformer_0.checkpoint",
+                         "--export_model=smoke_part.stablehlo"])
     log = open("outputs/smoke_part/run.log").read()
     assert log.count("test iou:") >= 2
+
+    # --export_model wrote a loadable two-input AOT serving artifact
+    from dgcnn_tpu.export import load_exported
+
+    fn = load_exported("smoke_part.stablehlo")
+    out = fn(np.zeros((8, 64, 3), np.float32),
+             np.eye(16, dtype=np.float32)[:8])
+    assert np.asarray(out).shape == (8, 64, 50)
 
 
 def test_partseg_device_pipeline_train(data_env):
@@ -182,9 +191,16 @@ def test_semseg_train_smoke(data_env):
     log = open("outputs/smoke_sem/run.log").read()
     assert "train iou:" in log
 
-    semseg.main(argv + ["--eval=True", "--model_root=outputs/smoke_sem/models"])
+    semseg.main(argv + ["--eval=True", "--model_root=outputs/smoke_sem/models",
+                        "--export_model=smoke_sem.stablehlo"])
     log = open("outputs/smoke_sem/run.log").read()
     assert "test area: 6" in log
+
+    # --export_model wrote a loadable 9-channel AOT serving artifact
+    from dgcnn_tpu.export import load_exported
+
+    out = load_exported("smoke_sem.stablehlo")(np.zeros((8, 64, 9), np.float32))
+    assert np.asarray(out).shape == (8, 64, 13)
 
     # point-sharded eval (sequence parallelism over the 8-device mesh)
     # reports the same accuracy as the batch-parallel eval above
