@@ -307,14 +307,17 @@ def test(args, io: IOStream):
         # in, serialized StableHLO — self-contained (dgcnn_tpu/export.py)
         from dgcnn_tpu.export import export_model, save_exported
 
+        poly = getattr(args, "export_poly_batch", False)
         ex = export_model(
             model, {"params": state.params,
                     "batch_stats": state.batch_stats},
             (jnp.zeros((args.test_batch_size, args.num_points, 3),
-                       jnp.float32),))
+                       jnp.float32),),
+            polymorphic_batch=poly)
         save_exported(args.export_model, ex)
         io.cprint(f"Exported serving artifact ({ex.platforms[0]}, batch "
-                  f"{args.test_batch_size}) to {args.export_model}")
+                  f"{'b (polymorphic)' if poly else args.test_batch_size}) "
+                  f"to {args.export_model}")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -348,6 +351,10 @@ def build_parser() -> argparse.ArgumentParser:
                              "AOT serving artifact (StableHLO with weights "
                              "baked in) to PATH — loadable without any "
                              "model code via dgcnn_tpu.export.load_exported")
+    parser.add_argument("--export_poly_batch", type=str2bool, default=False,
+                        help="with --export_model: make the artifact's "
+                             "batch axis a symbolic dimension so one "
+                             "artifact serves any batch size")
     parser.add_argument("--device_pipeline", type=str2bool, default=False,
                         help="TPU-native extension: keep the dataset "
                              "resident in HBM and run each train epoch as "

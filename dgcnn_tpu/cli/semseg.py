@@ -323,14 +323,18 @@ def test(args, io: IOStream):
                 if args.test_area == "all":
                     root, ext = os.path.splitext(path)
                     path = f"{root}_{area}{ext}"
+                poly = getattr(args, "export_poly_batch", False)
                 ex = export_model(
                     model, {"params": state.params,
                             "batch_stats": state.batch_stats},
                     (jnp.zeros((args.test_batch_size, args.num_points, 9),
-                               jnp.float32),))
+                               jnp.float32),),
+                    polymorphic_batch=poly)
                 save_exported(path, ex)
                 io.cprint(f"Exported serving artifact ({ex.platforms[0]}, "
-                          f"batch {args.test_batch_size}) to {path}")
+                          f"batch "
+                          f"{'b (polymorphic)' if poly else args.test_batch_size}"
+                          f") to {path}")
     if args.test_area == "all":
         t = np.concatenate(all_true)
         p = np.concatenate(all_pred)
@@ -387,6 +391,10 @@ def build_parser() -> argparse.ArgumentParser:
                              "(StableHLO with weights baked in) — loadable "
                              "without any model code via "
                              "dgcnn_tpu.export.load_exported")
+    parser.add_argument("--export_poly_batch", type=str2bool, default=False,
+                        help="with --export_model: make the artifact's "
+                             "batch axis a symbolic dimension so one "
+                             "artifact serves any batch size")
     parser.add_argument("--device_pipeline", type=str2bool, default=False,
                         help="TPU-native extension: keep the train blocks "
                              "resident in HBM and run each train epoch as "

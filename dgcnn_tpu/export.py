@@ -15,9 +15,13 @@ Notes:
   lowering only runs on TPU (Mosaic custom-calls), a CPU export runs on
   CPU (the kernels' XLA fallback path).  ``platforms`` defaults to the
   current backend.
-* Shapes are static (the fused kernels are compiled per shape): export at
-  the serving batch size, or export several batch sizes side by side with
-  :func:`export_batches`.
+* Shapes are static by default (the fused kernels are compiled per shape):
+  export at the serving batch size, or export several batch sizes side by
+  side with :func:`export_batches`.  ``polymorphic_batch=True`` instead
+  records ONE artifact whose leading (batch) axis is a ``jax.export``
+  symbolic dimension — the Mosaic kernels lower fine under it (the grid
+  rides the point axis; batch is a plain loop dim) and the artifact serves
+  any batch size, compiling per concrete shape on first call.
 * ``call_exported``/the loaded callable re-traces nothing: calling it goes
   straight to XLA compilation of the recorded StableHLO.
 """
@@ -30,13 +34,16 @@ MAGIC = b"DGCNN_TPU_EXPORT\x00"
 
 
 def export_eval_fn(apply_fn: Callable, variables: dict, example_args,
-                   platforms: Sequence[str] | None = None):
+                   platforms: Sequence[str] | None = None,
+                   polymorphic_batch: bool = False):
     """Export ``apply_fn({"params", "batch_stats"}, *args, train=False)``
     as a :class:`jax.export.Exported` with ``variables`` baked in.
 
     ``example_args``: arrays or ShapeDtypeStructs defining the serving
     signature (batch size, point count, extra inputs such as the partseg
-    category one-hot).
+    category one-hot).  With ``polymorphic_batch`` every arg's leading axis
+    becomes one shared symbolic dimension ``b`` and the artifact accepts
+    any batch size (all args must share the batch axis).
     """
     import jax
     from jax import export as jex
@@ -45,8 +52,14 @@ def export_eval_fn(apply_fn: Callable, variables: dict, example_args,
         return apply_fn(variables, *args, train=False)
 
     fn = jax.jit(forward)
-    shapes = tuple(
-        jax.ShapeDtypeStruct(a.shape, a.dtype) for a in example_args)
+    if polymorphic_batch:
+        (b,) = jex.symbolic_shape("b")
+        shapes = tuple(
+            jax.ShapeDtypeStruct((b,) + tuple(a.shape[1:]), a.dtype)
+            for a in example_args)
+    else:
+        shapes = tuple(
+            jax.ShapeDtypeStruct(a.shape, a.dtype) for a in example_args)
     kwargs = {"platforms": list(platforms)} if platforms else {}
     return jex.export(fn, **kwargs)(*shapes)
 
@@ -75,9 +88,11 @@ def load_exported(path: str) -> Callable:
 
 
 def export_model(model, variables: dict, example_args,
-                 platforms: Sequence[str] | None = None):
+                 platforms: Sequence[str] | None = None,
+                 polymorphic_batch: bool = False):
     """Convenience wrapper over :func:`export_eval_fn` for a flax module."""
-    return export_eval_fn(model.apply, variables, example_args, platforms)
+    return export_eval_fn(model.apply, variables, example_args, platforms,
+                          polymorphic_batch=polymorphic_batch)
 
 
 def export_batches(model, variables: dict, make_args: Callable[[int], tuple],
