@@ -129,7 +129,12 @@ def _extract_loop_v2(scores, k, n, payload_fn, onehot_dtype=jnp.float32):
     as _extract_loop_v1.  (Tried and rejected r3: a v3-style read-only walk
     ``m = max(keys < m)`` — 6% SLOWER than rewrite-and-re-reduce; Mosaic
     fuses the masked rewrite into the next reduce, and the walk's masked
-    reduce does not fuse as tightly.)"""
+    reduce does not fuse as tightly.  Also rejected r3: a paired "v2p"
+    loop extracting TWO winners per traversal via an elementwise top-2
+    chunk fold (3 VPU ops/element) — 8% slower at N=4096 and 17% at
+    N=1024 for any fold width; the loop is ALU-bound, not traversal-
+    bound, and the per-winner eq mask + rewrite don't halve, so the
+    merge's extra ops outweigh the saved reduce.)"""
     mask = jnp.int32(2 ** _index_bits(n) - 1)
     keys = _pack_keys(scores, n)
     idx_cols = []
