@@ -81,12 +81,7 @@ def _train_device_pipeline(args, io, state, train_step, eval_step,
     )
     from dgcnn_tpu.data.pipeline import resident_epoch_fn
 
-    def mesh_for(batch_size):
-        if len(devices) > 1 and batch_size % len(devices) == 0:
-            from dgcnn_tpu.parallel import make_mesh
-
-            return make_mesh(devices)
-        return None
+    from dgcnn_tpu.parallel import mesh_if_divisible
 
     tr_arrays = dataset_to_device(train_ds, args.num_points)
 
@@ -95,8 +90,9 @@ def _train_device_pipeline(args, io, state, train_step, eval_step,
         met["labels"] = batch["label"]
         return st, met
 
-    epoch_fn = resident_train_epoch_fn(step, augment_cls,
-                                       mesh=mesh_for(args.batch_size))
+    epoch_fn = resident_train_epoch_fn(
+        step, augment_cls,
+        mesh=mesh_if_divisible(devices, args.batch_size, io))
 
     test_loader = make_loader(test_ds, ["points", "label"],
                               batch_size=args.test_batch_size, shuffle=True,
@@ -110,7 +106,8 @@ def _train_device_pipeline(args, io, state, train_step, eval_step,
         m["labels"] = batch["label"].squeeze(-1)
         return m
 
-    ev_fn = resident_epoch_fn(ev_batch, mesh=mesh_for(args.test_batch_size))
+    ev_fn = resident_epoch_fn(
+        ev_batch, mesh=mesh_if_divisible(devices, args.test_batch_size, io))
 
     best_test_acc = 0.0
     tput = ThroughputMeter()
@@ -274,13 +271,11 @@ def test(args, io: IOStream):
             m["labels"] = batch["label"].squeeze(-1)
             return m
 
-        mesh = None
-        if len(devices) > 1 and args.test_batch_size % len(devices) == 0:
-            # shard the scanned batches like the per-batch eval path does —
-            # same GSPMD reduction order, bit-identical metrics
-            from dgcnn_tpu.parallel import make_mesh
+        # shard the scanned batches like the per-batch eval path does —
+        # same GSPMD reduction order, bit-identical metrics
+        from dgcnn_tpu.parallel import mesh_if_divisible
 
-            mesh = make_mesh(devices)
+        mesh = mesh_if_divisible(devices, args.test_batch_size, io)
         em = {k: np.asarray(v)  # one stacked readback
               for k, v in resident_epoch_fn(ev_batch, mesh=mesh)(
                   arrays, state).items()}
@@ -305,19 +300,13 @@ def test(args, io: IOStream):
     if getattr(args, "export_model", ""):
         # AOT serving artifact: the eval forward with these weights baked
         # in, serialized StableHLO — self-contained (dgcnn_tpu/export.py)
-        from dgcnn_tpu.export import export_model, save_exported
+        from dgcnn_tpu.export import export_from_cli
 
-        poly = getattr(args, "export_poly_batch", False)
-        ex = export_model(
-            model, {"params": state.params,
-                    "batch_stats": state.batch_stats},
+        export_from_cli(
+            args, io, model, state,
             (jnp.zeros((args.test_batch_size, args.num_points, 3),
                        jnp.float32),),
-            polymorphic_batch=poly)
-        save_exported(args.export_model, ex)
-        io.cprint(f"Exported serving artifact ({ex.platforms[0]}, batch "
-                  f"{'b (polymorphic)' if poly else args.test_batch_size}) "
-                  f"to {args.export_model}")
+            devices)
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -188,15 +188,11 @@ def train(args, io: IOStream):
             met["label"] = batch["label"]
             return st, met
 
-        def _mesh_for(batch_size):
-            if len(devices) > 1 and batch_size % len(devices) == 0:
-                from dgcnn_tpu.parallel import make_mesh
+        from dgcnn_tpu.parallel import mesh_if_divisible
 
-                return make_mesh(devices)
-            return None
-
-        dp_epoch = resident_train_epoch_fn(_dp_step, aug,
-                                           mesh=_mesh_for(args.batch_size))
+        dp_epoch = resident_train_epoch_fn(
+            _dp_step, aug,
+            mesh=mesh_if_divisible(devices, args.batch_size, io))
 
         from dgcnn_tpu.data.pipeline import resident_epoch_fn
 
@@ -213,7 +209,8 @@ def train(args, io: IOStream):
             return m
 
         dp_eval_fn = resident_epoch_fn(
-            _dp_eval, mesh=_mesh_for(args.test_batch_size))
+            _dp_eval, mesh=mesh_if_divisible(devices, args.test_batch_size,
+                                             io))
     train_call = build_data_parallel_call(train_step, devices,
                                           args.batch_size, n_sharded=3,
                                           donate=True)
@@ -331,13 +328,11 @@ def test(args, io: IOStream):
             m["label"] = batch["label"].squeeze(-1)
             return m
 
-        mesh = None
-        if len(devices) > 1 and args.test_batch_size % len(devices) == 0:
-            # shard the scanned batches like the per-batch eval path does —
-            # same GSPMD reduction order, bit-identical metrics
-            from dgcnn_tpu.parallel import make_mesh
+        # shard the scanned batches like the per-batch eval path does —
+        # same GSPMD reduction order, bit-identical metrics
+        from dgcnn_tpu.parallel import mesh_if_divisible
 
-            mesh = make_mesh(devices)
+        mesh = mesh_if_divisible(devices, args.test_batch_size, io)
         em = {k: np.asarray(v)  # one stacked readback
               for k, v in resident_epoch_fn(_dp_eval, mesh=mesh)(
                   arrays, state).items()}
@@ -362,21 +357,15 @@ def test(args, io: IOStream):
     if getattr(args, "export_model", ""):
         # AOT serving artifact (see dgcnn_tpu/export.py): forward takes
         # (points, category one-hot) like the reference Net
-        from dgcnn_tpu.export import export_model, save_exported
+        from dgcnn_tpu.export import export_from_cli
 
-        poly = getattr(args, "export_poly_batch", False)
-        ex = export_model(
-            model, {"params": state.params,
-                    "batch_stats": state.batch_stats},
+        export_from_cli(
+            args, io, model, state,
             (jnp.zeros((args.test_batch_size, args.num_points, 3),
                        jnp.float32),
              jnp.zeros((args.test_batch_size, NUM_CATEGORIES),
                        jnp.float32)),
-            polymorphic_batch=poly)
-        save_exported(args.export_model, ex)
-        io.cprint(f"Exported serving artifact ({ex.platforms[0]}, batch "
-                  f"{'b (polymorphic)' if poly else args.test_batch_size}) "
-                  f"to {args.export_model}")
+            devices)
 
 
 def load_variables_any(path: str, args):

@@ -99,15 +99,11 @@ def train(args, io: IOStream):
             met["seg"] = batch["seg"]
             return st, met
 
-        def _mesh_for(batch_size):
-            if len(devices) > 1 and batch_size % len(devices) == 0:
-                from dgcnn_tpu.parallel import make_mesh
+        from dgcnn_tpu.parallel import mesh_if_divisible
 
-                return make_mesh(devices)
-            return None
-
-        dp_epoch = resident_train_epoch_fn(_dp_step, augment_partseg_plain,
-                                           mesh=_mesh_for(args.batch_size))
+        dp_epoch = resident_train_epoch_fn(
+            _dp_step, augment_partseg_plain,
+            mesh=mesh_if_divisible(devices, args.batch_size, io))
 
         from dgcnn_tpu.data.pipeline import resident_epoch_fn
 
@@ -120,7 +116,8 @@ def train(args, io: IOStream):
             return m
 
         dp_eval_fn = resident_epoch_fn(
-            _dp_eval, mesh=_mesh_for(args.test_batch_size))
+            _dp_eval, mesh=mesh_if_divisible(devices, args.test_batch_size,
+                                             io))
     train_call = build_data_parallel_call(train_step, devices,
                                           args.batch_size, n_sharded=2,
                                           donate=True)
@@ -231,14 +228,13 @@ def test(args, io: IOStream):
             m["seg"] = batch["seg"]
             return m
 
-        mesh = None
-        if len(devices) > 1 and args.test_batch_size % len(devices) == 0:
-            # shard the scanned batches like the per-batch eval path does —
-            # same GSPMD reduction order, bit-identical metrics
-            from dgcnn_tpu.parallel import make_mesh
+        # shard the scanned batches like the per-batch eval path does —
+        # same GSPMD reduction order, bit-identical metrics
+        from dgcnn_tpu.parallel import mesh_if_divisible
 
-            mesh = make_mesh(devices)
-        dp_eval_fn = resident_epoch_fn(_dp_eval, mesh=mesh)
+        dp_eval_fn = resident_epoch_fn(
+            _dp_eval,
+            mesh=mesh_if_divisible(devices, args.test_batch_size, io))
     for area in areas:
         if args.test_area == "all" or area == args.test_area:
             test_ds = S3DIS(args.num_points, "test", area, seed=args.seed)
@@ -317,24 +313,17 @@ def test(args, io: IOStream):
             if getattr(args, "export_model", ""):
                 # AOT serving artifact per area model (dgcnn_tpu/export.py);
                 # with --test_area=all the area id lands in the filename
-                from dgcnn_tpu.export import export_model, save_exported
+                from dgcnn_tpu.export import export_from_cli
 
                 path = args.export_model
                 if args.test_area == "all":
                     root, ext = os.path.splitext(path)
                     path = f"{root}_{area}{ext}"
-                poly = getattr(args, "export_poly_batch", False)
-                ex = export_model(
-                    model, {"params": state.params,
-                            "batch_stats": state.batch_stats},
+                export_from_cli(
+                    args, io, model, state,
                     (jnp.zeros((args.test_batch_size, args.num_points, 9),
                                jnp.float32),),
-                    polymorphic_batch=poly)
-                save_exported(path, ex)
-                io.cprint(f"Exported serving artifact ({ex.platforms[0]}, "
-                          f"batch "
-                          f"{'b (polymorphic)' if poly else args.test_batch_size}"
-                          f") to {path}")
+                    devices, path=path)
     if args.test_area == "all":
         t = np.concatenate(all_true)
         p = np.concatenate(all_pred)

@@ -95,6 +95,30 @@ def export_model(model, variables: dict, example_args,
                           polymorphic_batch=polymorphic_batch)
 
 
+def export_from_cli(args, io, model, state, example_args, devices,
+                    path: str | None = None) -> None:
+    """The eval CLIs' shared ``--export_model`` hook: export the eval
+    forward with the weights in ``state`` baked in, targeting the platform
+    eval actually ran on (``devices`` — so ``--no_cuda`` CPU evals write
+    CPU-servable artifacts, not default-backend ones), honouring
+    ``--export_poly_batch``, and log the reference-style cprint line."""
+    path = path or args.export_model
+    poly = getattr(args, "export_poly_batch", False)
+    ex = export_model(
+        model,
+        {"params": state.params, "batch_stats": state.batch_stats},
+        example_args,
+        platforms=[devices[0].platform],
+        polymorphic_batch=poly,
+    )
+    save_exported(path, ex)
+    io.cprint(
+        f"Exported serving artifact ({ex.platforms[0]}, batch "
+        f"{'b (polymorphic)' if poly else example_args[0].shape[0]}) "
+        f"to {path}"
+    )
+
+
 def export_batches(model, variables: dict, make_args: Callable[[int], tuple],
                    batch_sizes: Sequence[int],
                    platforms: Sequence[str] | None = None) -> dict:

@@ -7,6 +7,7 @@ from dgcnn_tpu.parallel.mesh import (
     batch_sharding,
     distributed_init,
     make_mesh,
+    mesh_if_divisible,
     replicated,
 )
 from dgcnn_tpu.parallel.point_sharded import (
@@ -23,6 +24,7 @@ __all__ = [
     "batch_sharding",
     "distributed_init",
     "make_mesh",
+    "mesh_if_divisible",
     "replicated",
     "point_sharded_apply",
     "sharded_edge_conv_fused",

@@ -23,6 +23,23 @@ def make_mesh(devices: Optional[Sequence] = None, axis: str = DATA_AXIS) -> Mesh
     return Mesh(np.asarray(devices), (axis,))
 
 
+def mesh_if_divisible(devices: Sequence, batch_size: int,
+                      io=None, what: str = "device pipeline") -> Optional[Mesh]:
+    """The CLIs' shared mesh rule: a 1-D mesh over ``devices`` when the
+    batch size divides the device count (the same condition
+    build_data_parallel_call encodes), else None.  With multiple devices
+    and a non-divisible batch, prints a notice through ``io`` so the
+    single-device fallback is never silent."""
+    if len(devices) > 1 and batch_size % len(devices) == 0:
+        return make_mesh(devices)
+    if len(devices) > 1 and io is not None:
+        io.cprint(
+            f"{what}: batch size {batch_size} does not divide over "
+            f"{len(devices)} devices — running on ONE device"
+        )
+    return None
+
+
 def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
     """Shard the leading (batch) dim across the mesh."""
     return NamedSharding(mesh, P(axis))
