@@ -74,17 +74,22 @@ def save_exported(path: str, exported) -> None:
     os.replace(tmp, path)
 
 
-def load_exported(path: str) -> Callable:
-    """Load an artifact written by :func:`save_exported`; returns a callable
-    ``fn(*args) -> outputs`` (no model code needed)."""
+def load_exported_obj(path: str):
+    """Load an artifact written by :func:`save_exported` as a
+    :class:`jax.export.Exported` (signature avals, platforms, call)."""
     from jax import export as jex
 
     with open(path, "rb") as f:
         data = f.read()
     if not data.startswith(MAGIC):
         raise ValueError(f"{path} is not a dgcnn-tpu export artifact")
-    exported = jex.deserialize(data[len(MAGIC):])
-    return exported.call
+    return jex.deserialize(data[len(MAGIC):])
+
+
+def load_exported(path: str) -> Callable:
+    """Load an artifact written by :func:`save_exported`; returns a callable
+    ``fn(*args) -> outputs`` (no model code needed)."""
+    return load_exported_obj(path).call
 
 
 def export_model(model, variables: dict, example_args,

@@ -1,0 +1,163 @@
+"""Serving runtime (dgcnn_tpu/serve.py): bucketed padding over exported
+artifacts, the request-coalescing BatchingServer, and the stdlib HTTP
+front-end.  All model-code-free: only the artifact is loaded."""
+import io
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def artifacts(tmp_path_factory):
+    """One fixed-batch and one polymorphic artifact of the same tiny model,
+    plus the reference outputs fn for checking served results."""
+    from dgcnn_tpu.export import export_model, save_exported
+    from dgcnn_tpu.models import DGCNNCls
+
+    model = DGCNNCls(emb_dims=32, k=4, output_channels=40)
+    pts0 = jnp.zeros((4, 32, 3), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, pts0,
+                           train=False)
+    d = tmp_path_factory.mktemp("artifacts")
+    fixed = str(d / "fixed.shlo")
+    save_exported(fixed, export_model(model, variables, (pts0,)))
+    poly = str(d / "poly.shlo")
+    save_exported(poly, export_model(model, variables, (pts0,),
+                                     polymorphic_batch=True))
+    ref = jax.jit(lambda p: model.apply(variables, p, train=False))
+    return fixed, poly, ref
+
+
+def test_serving_model_fixed_batch_pads(artifacts):
+    from dgcnn_tpu.serve import ServingModel
+
+    fixed, _, ref = artifacts
+    m = ServingModel(fixed)
+    assert m.max_batch == 4 and m._buckets == [4]
+    rng = np.random.RandomState(0)
+    for n in (1, 3, 4):
+        pts = rng.randn(n, 32, 3).astype(np.float32)
+        out = m.predict(pts)
+        assert out.shape == (n, 40)
+        np.testing.assert_allclose(out, np.asarray(ref(pts)), rtol=1e-5,
+                                   atol=1e-5)
+    with pytest.raises(ValueError):
+        m.predict(rng.randn(5, 32, 3).astype(np.float32))
+
+
+def test_serving_model_poly_buckets(artifacts):
+    from dgcnn_tpu.serve import ServingModel, _bucket_sizes
+
+    assert _bucket_sizes(8) == [1, 2, 4, 8]
+    assert _bucket_sizes(6) == [1, 2, 4, 6]
+    _, poly, ref = artifacts
+    m = ServingModel(poly, max_batch=8)
+    assert m._poly and m._buckets == [1, 2, 4, 8]
+    assert m.bucket_for(3) == 4
+    m.warmup()
+    rng = np.random.RandomState(1)
+    for n in (1, 3, 5, 8):
+        pts = rng.randn(n, 32, 3).astype(np.float32)
+        out = m.predict(pts)
+        assert out.shape == (n, 40)
+        np.testing.assert_allclose(out, np.asarray(ref(pts)), rtol=1e-5,
+                                   atol=1e-5)
+
+
+def test_batching_server_coalesces_and_matches(artifacts):
+    from dgcnn_tpu.serve import BatchingServer, ServingModel
+
+    _, poly, ref = artifacts
+    m = ServingModel(poly, max_batch=8)
+    m.warmup()
+    srv = BatchingServer(m, max_delay_ms=50.0)
+    rng = np.random.RandomState(2)
+    clouds = [rng.randn(32, 3).astype(np.float32) for _ in range(8)]
+    futs = [srv.submit(c) for c in clouds]  # unbatched items: axis added
+    outs = [f.result(timeout=60) for f in futs]
+    srv.shutdown()
+    want = np.asarray(ref(np.stack(clouds)))
+    for o, w in zip(outs, want):
+        np.testing.assert_allclose(o, w, rtol=1e-5, atol=1e-5)
+    # coalescing happened: fewer device batches than requests
+    assert sum(srv.batch_log) == 8 and len(srv.batch_log) < 8
+
+
+def test_batching_server_propagates_failures(artifacts):
+    from dgcnn_tpu.serve import BatchingServer, ServingModel
+
+    fixed, _, _ = artifacts
+    m = ServingModel(fixed)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected device failure")
+
+    m.dispatch = boom
+    srv = BatchingServer(m, max_delay_ms=1.0)
+    fut = srv.submit(np.zeros((32, 3), np.float32))
+    with pytest.raises(RuntimeError, match="injected"):
+        fut.result(timeout=30)
+    srv.shutdown()
+
+
+def test_http_endpoint_roundtrip(artifacts):
+    from dgcnn_tpu.serve import ServingModel, serve_http
+
+    _, poly, ref = artifacts
+    m = ServingModel(poly, max_batch=4)
+    m.warmup()
+    httpd, batcher = serve_http(m, port=0, max_delay_ms=1.0)
+    try:
+        base = f"http://127.0.0.1:{httpd.server_port}"
+        import json
+
+        health = json.loads(urllib.request.urlopen(
+            base + "/healthz", timeout=30).read())
+        assert health["max_batch"] == 4 and health["buckets"] == [1, 2, 4]
+
+        rng = np.random.RandomState(3)
+        pts = rng.randn(32, 3).astype(np.float32)
+        buf = io.BytesIO()
+        np.save(buf, pts)
+        resp = urllib.request.urlopen(urllib.request.Request(
+            base + "/predict", data=buf.getvalue(), method="POST"),
+            timeout=60)
+        out = np.load(io.BytesIO(resp.read()))
+        want = np.asarray(ref(pts[None]))[0]
+        np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
+
+        # malformed request -> 400, not a hung connection
+        with pytest.raises(urllib.error.HTTPError):
+            urllib.request.urlopen(urllib.request.Request(
+                base + "/predict", data=b"garbage", method="POST"),
+                timeout=30)
+    finally:
+        httpd.shutdown()
+        batcher.shutdown()
+
+
+def test_mesh_if_divisible_rule_and_notice():
+    from dgcnn_tpu.parallel import mesh_if_divisible
+
+    devices = jax.devices("cpu")
+    assert len(devices) == 8
+
+    class FakeIO:
+        lines = []
+
+        def cprint(self, s):
+            self.lines.append(s)
+
+    io_ = FakeIO()
+    mesh = mesh_if_divisible(devices, 16, io_)
+    assert mesh is not None and mesh.devices.size == 8 and not io_.lines
+    assert mesh_if_divisible(devices, 12, io_) is None
+    assert len(io_.lines) == 1 and "ONE device" in io_.lines[0]
+    # single device: no mesh, no notice
+    assert mesh_if_divisible(devices[:1], 12, io_) is None
+    assert len(io_.lines) == 1
