@@ -157,12 +157,23 @@ class BatchingServer:
         self.batch_log: list = []
 
     def submit(self, *inputs: np.ndarray) -> Future:
+        avals = self.model._exported.in_avals
+        if len(inputs) != len(avals):
+            raise ValueError(
+                f"expected {len(avals)} inputs, got {len(inputs)}")
         items = tuple(np.asarray(a) for a in inputs)
         items = tuple(a[None] if a.ndim == self._ndim_of(i) else a
                       for i, a in enumerate(items))
         if items[0].shape[0] != 1:
             raise ValueError("submit() takes one item; use model.predict "
                              "for pre-batched requests")
+        # reject malformed items HERE — a bad shape inside the worker's
+        # concatenate would take down the whole coalesced batch
+        for i, (a, av) in enumerate(zip(items, avals)):
+            if tuple(a.shape[1:]) != tuple(av.shape[1:]):
+                raise ValueError(
+                    f"input {i} shape {a.shape[1:]} != artifact signature "
+                    f"{tuple(av.shape[1:])}")
         fut: Future = Future()
         with self._cv:
             if self._stop:
@@ -220,10 +231,10 @@ class BatchingServer:
             batch = self._take_batch(pipeline_busy=bool(pending))
             if batch is not None:
                 items, futs = zip(*batch)
-                args = tuple(
-                    np.concatenate([it[j] for it in items], axis=0)
-                    for j in range(len(items[0])))
                 try:
+                    args = tuple(
+                        np.concatenate([it[j] for it in items], axis=0)
+                        for j in range(len(items[0])))
                     pending.append((futs, self.model.dispatch(*args)))
                     self.batch_log.append(len(batch))
                 except Exception as e:  # resolve, never hang clients

@@ -88,6 +88,27 @@ def test_batching_server_coalesces_and_matches(artifacts):
     assert sum(srv.batch_log) == 8 and len(srv.batch_log) < 8
 
 
+def test_submit_rejects_malformed_shapes(artifacts):
+    """A bad request must fail at submit(), not poison the worker's
+    coalesced batch."""
+    from dgcnn_tpu.serve import BatchingServer, ServingModel
+
+    _, poly, ref = artifacts
+    m = ServingModel(poly, max_batch=4)
+    srv = BatchingServer(m, max_delay_ms=20.0)
+    with pytest.raises(ValueError, match="signature"):
+        srv.submit(np.zeros((16, 3), np.float32))  # wrong point count
+    with pytest.raises(ValueError, match="expected 1 inputs"):
+        srv.submit(np.zeros((32, 3), np.float32),
+                   np.zeros((16,), np.float32))
+    # a good request right after still serves
+    pts = np.random.RandomState(5).randn(32, 3).astype(np.float32)
+    out = srv.submit(pts).result(timeout=60)
+    srv.shutdown()
+    np.testing.assert_allclose(out, np.asarray(ref(pts[None]))[0],
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_batching_server_propagates_failures(artifacts):
     from dgcnn_tpu.serve import BatchingServer, ServingModel
 
