@@ -5,7 +5,6 @@ batch-sharded over the local device mesh, with device-side metrics."""
 from __future__ import annotations
 
 import argparse
-import os
 
 import numpy as np
 

@@ -42,7 +42,6 @@ from dgcnn_tpu.train import (
     make_optimizer,
     make_schedule,
     make_seg_steps,
-    save_model,
     save_train_checkpoint,
 )
 from dgcnn_tpu.utils import IOStream, enable_compilation_cache

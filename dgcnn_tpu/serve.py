@@ -29,7 +29,7 @@ from __future__ import annotations
 import threading
 import time
 from concurrent.futures import Future
-from typing import Callable, Sequence
+from typing import Sequence
 
 import numpy as np
 

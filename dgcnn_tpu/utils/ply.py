@@ -5,7 +5,7 @@ float32 x/y/z plus optional uint8 red/green/blue, ASCII or binary LE."""
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

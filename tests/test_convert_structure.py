@@ -3,7 +3,6 @@ the parameter/batch-stats trees the flax models expect (keys AND shapes) —
 this is what guarantees pretrained .t7 checkpoints drop in (SURVEY.md §7
 hard-part 2) without needing the (absent) pretrained files themselves."""
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

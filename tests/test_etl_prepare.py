@@ -1,5 +1,4 @@
 """S3DIS ETL unit tests on tiny synthetic rooms."""
-import os
 
 import numpy as np
 

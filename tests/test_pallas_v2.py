@@ -8,7 +8,6 @@ read at trace time, so reusing a (shape, static-args) signature across
 different env settings would hit a stale jit cache.
 """
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

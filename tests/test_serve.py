@@ -2,7 +2,6 @@
 artifacts, the request-coalescing BatchingServer, and the stdlib HTTP
 front-end.  All model-code-free: only the artifact is loaded."""
 import io
-import threading
 import urllib.request
 
 import numpy as np

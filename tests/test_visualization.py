@@ -2,7 +2,6 @@
 import os
 
 import numpy as np
-import pytest
 
 from dgcnn_tpu.utils.ply import read_ply, write_ply_xyz, write_ply_xyzrgb
 from dgcnn_tpu.utils.visualization import (
