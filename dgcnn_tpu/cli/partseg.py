@@ -82,9 +82,17 @@ def init_state(args, model, steps_per_epoch, rng):
         args.scheduler, args.lr, epochs=args.epochs,
         steps_per_epoch=steps_per_epoch, use_sgd=args.use_sgd,
     )
+    # torch OneCycleLR also cycles momentum/beta1 (cycle_momentum=True
+    # default, reference main_partseg_dist.py:212) — mirror it
+    from dgcnn_tpu.train.schedules import make_momentum_schedule
+
     tx = make_optimizer(use_sgd=args.use_sgd, schedule=schedule,
                         momentum=args.momentum, adamw=True,
-                        grad_accum=getattr(args, "grad_accum", 1))
+                        grad_accum=getattr(args, "grad_accum", 1),
+                        momentum_schedule=make_momentum_schedule(
+                            args.scheduler, args.momentum,
+                            epochs=args.epochs,
+                            steps_per_epoch=steps_per_epoch))
     return TrainState.create(
         apply_fn=model.apply,
         params=variables["params"],

@@ -59,6 +59,7 @@ def make_optimizer(
     weight_decay: float = 1e-4,
     adamw: bool = False,
     grad_accum: int = 1,
+    momentum_schedule: Callable | None = None,
 ) -> optax.GradientTransformation:
     """Reference optimizer configs: SGD(lr*100, momentum, wd 1e-4) with
     L2-coupled decay (main_cls.py:67), Adam(lr, wd 1e-4) L2-coupled
@@ -67,19 +68,37 @@ def make_optimizer(
     ``grad_accum > 1`` enables gradient accumulation (the reference's
     commented-out accum_iter, main_partseg_dist.py:237-238) via
     optax.MultiSteps.
+
+    ``momentum_schedule``: per-step momentum (SGD) / beta1 (Adam[W]) values,
+    overriding the constant ``momentum`` — torch's OneCycleLR cycles these
+    alongside the lr (``cycle_momentum=True`` default, which the reference's
+    dist trainer inherits at main_partseg_dist.py:212); pass
+    schedules.make_momentum_schedule's result.
     """
     if use_sgd:
+        trace = (optax.inject_hyperparams(optax.trace)(
+                     decay=momentum_schedule, nesterov=False)
+                 if momentum_schedule is not None
+                 else optax.trace(decay=momentum, nesterov=False))
         tx = optax.chain(
             optax.add_decayed_weights(weight_decay),
-            optax.trace(decay=momentum, nesterov=False),
+            trace,
             optax.scale_by_learning_rate(schedule),
         )
     elif adamw:
-        tx = optax.adamw(schedule, weight_decay=weight_decay)
+        if momentum_schedule is not None:
+            tx = optax.inject_hyperparams(optax.adamw)(
+                learning_rate=schedule, b1=momentum_schedule,
+                weight_decay=weight_decay)
+        else:
+            tx = optax.adamw(schedule, weight_decay=weight_decay)
     else:
+        adam = (optax.inject_hyperparams(optax.scale_by_adam)(
+                    b1=momentum_schedule)
+                if momentum_schedule is not None else optax.scale_by_adam())
         tx = optax.chain(
             optax.add_decayed_weights(weight_decay),
-            optax.scale_by_adam(),
+            adam,
             optax.scale_by_learning_rate(schedule),
         )
     if grad_accum > 1:

@@ -37,12 +37,21 @@ def step_decay(base_lr: float, steps_per_epoch: int, step_size: int = 20,
     return schedule
 
 
+def _one_cycle_phases(total_steps: int, pct_start: float):
+    """torch's phase boundaries are FLOATS (``float(pct_start * total) - 1``,
+    OneCycleLR._initial_step): at small total_steps no step lands exactly on
+    the peak.  Matching the float math keeps per-step values torch-exact at
+    every scale."""
+    up_steps = max(float(pct_start * total_steps) - 1, 1e-6)
+    down_steps = max((total_steps - 1) - up_steps, 1e-6)
+    return up_steps, down_steps
+
+
 def one_cycle(max_lr: float, total_steps: int, pct_start: float = 0.3,
               div_factor: float = 25.0, final_div_factor: float = 1e4):
     initial_lr = max_lr / div_factor
     min_lr = initial_lr / final_div_factor
-    up_steps = max(int(pct_start * total_steps) - 1, 1)
-    down_steps = max(total_steps - up_steps - 1, 1)
+    up_steps, down_steps = _one_cycle_phases(total_steps, pct_start)
 
     def schedule(step):
         step = jnp.minimum(step, total_steps - 1)
@@ -54,6 +63,41 @@ def one_cycle(max_lr: float, total_steps: int, pct_start: float = 0.3,
         return jnp.where(up, lr_up, lr_dn)
 
     return schedule
+
+
+def one_cycle_momentum(total_steps: int, base_momentum: float = 0.85,
+                       max_momentum: float = 0.95, pct_start: float = 0.3):
+    """OneCycleLR's momentum cycling (torch ``cycle_momentum=True``, the
+    default the reference's dist trainer inherits): momentum anneals
+    INVERSELY to the lr — max->base over the warmup, base->max over the
+    decay — so the SGD momentum buffer (or Adam's beta1) damps while the
+    lr peaks.  Same phase boundaries and cosine interpolation as
+    :func:`one_cycle`."""
+    up_steps, down_steps = _one_cycle_phases(total_steps, pct_start)
+
+    def schedule(step):
+        step = jnp.minimum(step, total_steps - 1)
+        up = step <= up_steps
+        t_up = jnp.clip(step / up_steps, 0.0, 1.0)
+        t_dn = jnp.clip((step - up_steps) / down_steps, 0.0, 1.0)
+        m_up = base_momentum + (max_momentum - base_momentum) * (
+            1 + jnp.cos(jnp.pi * t_up)) / 2
+        m_dn = max_momentum + (base_momentum - max_momentum) * (
+            1 + jnp.cos(jnp.pi * t_dn)) / 2
+        return jnp.where(up, m_up, m_dn)
+
+    return schedule
+
+
+def make_momentum_schedule(name: str, momentum: float, *, epochs: int,
+                           steps_per_epoch: int):
+    """The momentum counterpart of :func:`make_schedule`: cycled for the
+    per-batch "cycle" scheduler (torch OneCycleLR overrides the
+    optimizer's constructed momentum every step), None (= keep the
+    constant ``momentum``) otherwise."""
+    if name == "cycle":
+        return one_cycle_momentum(epochs * steps_per_epoch)
+    return None
 
 
 def make_schedule(name: str, base_lr: float, *, epochs: int,

@@ -129,6 +129,30 @@ def test_schedules_match_torch(name):
     np.testing.assert_allclose(our_lrs, torch_lrs, rtol=2e-4, atol=1e-8)
 
 
+@pytest.mark.skipif(not has_torch(), reason="torch unavailable")
+def test_one_cycle_momentum_matches_torch():
+    """OneCycleLR's momentum cycling (cycle_momentum=True default, which
+    the reference dist trainer inherits at main_partseg_dist.py:212):
+    momentum anneals max->base->max inversely to the lr."""
+    import torch
+
+    from dgcnn_tpu.train.schedules import one_cycle_momentum
+
+    base_lr, epochs, spe = 0.001, 10, 7
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=base_lr * 100, momentum=0.9)
+    sch = torch.optim.lr_scheduler.OneCycleLR(
+        opt, max_lr=base_lr * 100, epochs=epochs, steps_per_epoch=spe)
+    ours = one_cycle_momentum(epochs * spe)
+    torch_ms, our_ms = [], []
+    for step in range(epochs * spe):
+        torch_ms.append(opt.param_groups[0]["momentum"])
+        our_ms.append(float(ours(step)))
+        opt.step()
+        sch.step()
+    np.testing.assert_allclose(our_ms, torch_ms, rtol=2e-4, atol=1e-8)
+
+
 def test_cls_engine_overfits_two_samples():
     """2-sample overfit smoke loop — the reference's notebook verification
     strategy (test.ipynb cells 51-55, SURVEY.md §4)."""
