@@ -7,6 +7,7 @@ from dgcnn_tpu.parallel.mesh import (
     batch_sharding,
     distributed_init,
     make_mesh,
+    make_mesh_2d,
     mesh_if_divisible,
     replicated,
 )
@@ -24,6 +25,7 @@ __all__ = [
     "batch_sharding",
     "distributed_init",
     "make_mesh",
+    "make_mesh_2d",
     "mesh_if_divisible",
     "replicated",
     "point_sharded_apply",

@@ -23,6 +23,24 @@ def make_mesh(devices: Optional[Sequence] = None, axis: str = DATA_AXIS) -> Mesh
     return Mesh(np.asarray(devices), (axis,))
 
 
+def make_mesh_2d(devices: Optional[Sequence] = None, dp: int = 1,
+                 sp: int = 1, data_axis: str = DATA_AXIS,
+                 point_axis: str = "point") -> Mesh:
+    """A 2-D (data x point) mesh for combined batch + point-axis sharding
+    (parallel.point_sharded's ``batch_axis=`` form).  ``dp * sp`` must
+    equal the device count; the point axis is the MINOR (fast, contiguous
+    ICI) dimension so the per-graph all-gathers stay on nearest
+    neighbours."""
+    import jax
+
+    if devices is None:
+        devices = jax.devices()
+    if dp * sp != len(devices):
+        raise ValueError(f"dp({dp}) * sp({sp}) != {len(devices)} devices")
+    arr = np.asarray(devices).reshape(dp, sp)
+    return Mesh(arr, (data_axis, point_axis))
+
+
 def mesh_if_divisible(devices: Sequence, batch_size: int,
                       io=None, what: str = "device pipeline") -> Optional[Mesh]:
     """The CLIs' shared mesh rule: a 1-D mesh over ``devices`` when the

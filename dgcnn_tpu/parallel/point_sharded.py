@@ -22,7 +22,8 @@ from dgcnn_tpu.ops.knn import pairwise_neg_sqdist
 
 
 def point_sharded_apply(apply_fn, mesh: Mesh, axis: str = DATA_AXIS,
-                        out_sharded: bool = True):
+                        out_sharded: bool = True,
+                        batch_axis: str | None = None):
     """Wrap a model EVAL apply so the point axis is sharded across ``mesh``.
 
     ``apply_fn(variables, x)`` is written single-logical (a plain flax
@@ -36,6 +37,12 @@ def point_sharded_apply(apply_fn, mesh: Mesh, axis: str = DATA_AXIS,
     ``out_sharded=True`` for per-point outputs (seg logits, embeddings);
     ``False`` for per-cloud outputs (cls logits — replicated after the
     global pool).  Eval-only: BatchNorm batch stats are not point-synced.
+
+    ``batch_axis``: name of a SECOND mesh axis to shard the batch over —
+    the 2-D dp x sp layout (each device holds B/dp x N/sp points; graph
+    all-gathers and global pools ride the ``axis`` submesh only, so the
+    collectives stay on the short ICI dimension while dp scales
+    throughput).  Requires ``mesh`` to carry both axis names.
     """
     from dgcnn_tpu.ops.pool import point_sharding
 
@@ -43,23 +50,29 @@ def point_sharded_apply(apply_fn, mesh: Mesh, axis: str = DATA_AXIS,
         with point_sharding(axis):
             return apply_fn(variables, x)
 
-    out_spec = P(None, axis, None) if out_sharded else P()
+    out_spec = (P(batch_axis, axis, None) if out_sharded
+                else (P() if batch_axis is None else P(batch_axis)))
     return shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(None, axis, None)),
+        in_specs=(P(), P(batch_axis, axis, None)),
         out_specs=out_spec,
         check_vma=False,
     )
 
 
 def point_sharded_seg_eval(model, mesh: Mesh, axis: str = DATA_AXIS,
-                           smoothing: bool = True):
+                           smoothing: bool = True,
+                           batch_axis: str | None = None):
     """Point-sharded semseg EVAL step (cli/semseg.py --point_shard): same
     metrics contract as train.engine's eval step ({"loss", "preds"}), but
     the (B, N, 9) blocks are sharded over the point axis — each device sees
     N/D points, one ICI all-gather per dynamic graph build, pmax for the
     global feature, pmean for the per-example loss.  N must divide by the
-    mesh size."""
+    mesh size.
+
+    ``batch_axis``: optional second mesh axis for the 2-D dp x sp layout —
+    the batch shards over it and the masked loss mean is psum-reduced
+    across it (bit-identical semantics to the 1-D form)."""
     from dgcnn_tpu.ops.pool import point_sharding
     from dgcnn_tpu.train.loss import cross_entropy_per_example, \
         masked_mean_loss
@@ -71,15 +84,23 @@ def point_sharded_seg_eval(model, mesh: Mesh, axis: str = DATA_AXIS,
                 points, train=False)
         per_ex = cross_entropy_per_example(logits, seg, smoothing)
         per_ex = jax.lax.pmean(per_ex, axis)  # exact: equal-size shards
+        if batch_axis is None:
+            loss = masked_mean_loss(per_ex, mask)
+        else:  # global masked mean across the dp shards
+            m = mask.astype(per_ex.dtype)
+            num = jax.lax.psum(jnp.sum(per_ex * m), batch_axis)
+            den = jax.lax.psum(jnp.sum(m), batch_axis)
+            loss = num / jnp.maximum(den, 1.0)
         return {
-            "loss": masked_mean_loss(per_ex, mask),
+            "loss": loss,
             "preds": jnp.argmax(logits, -1),
         }
 
     return jax.jit(shard_map(
         local, mesh=mesh,
-        in_specs=(P(), P(None, axis, None), P(None, axis), P(None)),
-        out_specs={"loss": P(), "preds": P(None, axis)},
+        in_specs=(P(), P(batch_axis, axis, None), P(batch_axis, axis),
+                  P(batch_axis)),
+        out_specs={"loss": P(), "preds": P(batch_axis, axis)},
         check_vma=False,
     ))
 
