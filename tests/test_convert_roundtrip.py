@@ -85,6 +85,29 @@ def test_roundtrip_fusion_net():
     _assert_tree_equal(back["batch_stats"], variables["batch_stats"])
 
 
+def test_convert_cli_both_directions(tmp_path):
+    """python -m dgcnn_tpu.convert.cli round-trips msgpack -> torch ->
+    msgpack through the --to_torch flag."""
+    from dgcnn_tpu.convert.cli import main
+    from dgcnn_tpu.models import DGCNNCls
+    from dgcnn_tpu.train.checkpoint import load_model, save_model
+
+    model = DGCNNCls(emb_dims=32, k=4, output_channels=40)
+    variables = model.init({"params": jax.random.PRNGKey(7)},
+                           jnp.zeros((2, 32, 3)), train=False)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+    src = str(tmp_path / "m.msgpack")
+    save_model(src, variables)
+    pt = str(tmp_path / "m.t7")
+    main([src, pt, "--model", "dgcnn_cls", "--to_torch"])
+    back = str(tmp_path / "back.msgpack")
+    main([pt, back, "--model", "dgcnn_cls"])
+    restored = load_model(back)
+    _assert_tree_equal(restored["params"], variables["params"])
+    _assert_tree_equal(restored["batch_stats"], variables["batch_stats"])
+
+
 @requires_reference
 def test_backbone_export_strict_loads_into_reference():
     """A JAX-trained DGCNN backbone strict-loads into the reference torch
