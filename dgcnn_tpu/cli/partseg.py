@@ -90,8 +90,7 @@ def init_state(args, model, steps_per_epoch, rng):
                         momentum=args.momentum, adamw=True,
                         grad_accum=getattr(args, "grad_accum", 1),
                         momentum_schedule=make_momentum_schedule(
-                            args.scheduler, args.momentum,
-                            epochs=args.epochs,
+                            args.scheduler, epochs=args.epochs,
                             steps_per_epoch=steps_per_epoch))
     return TrainState.create(
         apply_fn=model.apply,

@@ -44,7 +44,7 @@ def make_mesh_2d(devices: Optional[Sequence] = None, dp: int = 1,
 def mesh_if_divisible(devices: Sequence, batch_size: int,
                       io=None, what: str = "device pipeline") -> Optional[Mesh]:
     """The CLIs' shared mesh rule: a 1-D mesh over ``devices`` when the
-    batch size divides the device count (the same condition
+    device count divides the batch size (the same condition
     build_data_parallel_call encodes), else None.  With multiple devices
     and a non-divisible batch, prints a notice through ``io`` so the
     single-device fallback is never silent."""

@@ -55,14 +55,14 @@ class ServingModel:
     padded/sliced together.
     """
 
-    def __init__(self, path: str, max_batch: int = 64,
-                 polymorphic: bool | None = None):
+    def __init__(self, path: str, max_batch: int = 64):
         self._exported = load_exported_obj(path)
         self._fn = self._exported.call
         lead = self._exported.in_avals[0].shape[0]
-        # symbolic leading axis => polymorphic artifact
-        self._poly = not isinstance(lead, int) if polymorphic is None \
-            else polymorphic
+        # symbolic leading axis => polymorphic artifact (the artifact
+        # itself is the source of truth; no override — a poly artifact
+        # cannot be served fixed nor vice versa)
+        self._poly = not isinstance(lead, int)
         self._fixed_batch = lead if isinstance(lead, int) else None
         self.max_batch = (self._fixed_batch if self._fixed_batch is not None
                           else max_batch)
@@ -168,12 +168,17 @@ class BatchingServer:
             raise ValueError("submit() takes one item; use model.predict "
                              "for pre-batched requests")
         # reject malformed items HERE — a bad shape inside the worker's
-        # concatenate would take down the whole coalesced batch
+        # concatenate would take down the whole coalesced batch; dtypes
+        # are coerced to the signature's (a stray float64/int cloud must
+        # not upcast or fail everyone batched with it)
+        checked = []
         for i, (a, av) in enumerate(zip(items, avals)):
             if tuple(a.shape[1:]) != tuple(av.shape[1:]):
                 raise ValueError(
                     f"input {i} shape {a.shape[1:]} != artifact signature "
                     f"{tuple(av.shape[1:])}")
+            checked.append(a.astype(np.dtype(av.dtype.name), copy=False))
+        items = tuple(checked)
         fut: Future = Future()
         with self._cv:
             if self._stop:
@@ -214,10 +219,26 @@ class BatchingServer:
             return batch
 
     @staticmethod
-    def _resolve(futs, result, multi):
+    def _deliver(fut: Future, value=None, exc=None) -> None:
+        """set_result/set_exception tolerant of client-side cancellation —
+        an unguarded set_* on a cancelled future raises InvalidStateError,
+        which would either kill the worker thread (hanging every later
+        client) or be mis-delivered to the batch's OTHER futures."""
+        if fut.done():  # cancelled (or already failed) — nothing to do
+            return
+        try:
+            if exc is not None:
+                fut.set_exception(exc)
+            else:
+                fut.set_result(value)
+        except Exception:  # lost the cancel race; result is abandoned
+            pass
+
+    @classmethod
+    def _resolve(cls, futs, result, multi):
         for i, fut in enumerate(futs):
-            fut.set_result(
-                tuple(o[i] for o in result) if multi else result[i])
+            cls._deliver(
+                fut, tuple(o[i] for o in result) if multi else result[i])
 
     def _run(self):
         from collections import deque
@@ -239,7 +260,7 @@ class BatchingServer:
                     self.batch_log.append(len(batch))
                 except Exception as e:  # resolve, never hang clients
                     for fut in futs:
-                        fut.set_exception(e)
+                        self._deliver(fut, exc=e)
             # read back the oldest batch once the pipeline is full, or when
             # there is no new work to overlap with
             while pending and (len(pending) > self.pipeline_depth - 1
@@ -250,8 +271,7 @@ class BatchingServer:
                     self._resolve(futs, out, isinstance(out, (tuple, list)))
                 except Exception as e:
                     for fut in futs:
-                        if not fut.done():
-                            fut.set_exception(e)
+                        self._deliver(fut, exc=e)
                 break  # drain one, then look for new work again
 
     def shutdown(self, wait: bool = True):
@@ -264,10 +284,14 @@ class BatchingServer:
 
 def serve_http(model: ServingModel, host: str = "127.0.0.1", port: int = 0,
                max_delay_ms: float = 5.0):
-    """Minimal stdlib HTTP front-end: POST ``.npy`` bytes (one cloud, or a
-    tuple via multipart ``.npz``) to ``/predict`` → ``.npy`` response;
-    ``GET /healthz`` → platform + bucket info.  Returns the running
-    ``(HTTPServer, BatchingServer)`` pair; caller owns shutdown."""
+    """Minimal stdlib HTTP front-end: POST ``.npy`` bytes (one cloud) to
+    ``/predict`` → ``.npy`` response.  Multi-input signatures POST ``.npz``
+    bytes whose keys SORT in signature order — use positional names
+    (``np.savez(arg0=points, arg1=onehot)``); keys are sorted, NOT matched
+    to parameter names.  Multi-output models answer with ``.npz``
+    (``out0``, ``out1``, ...).  ``GET /healthz`` → platform + bucket info.
+    Returns the running ``(HTTPServer, BatchingServer)`` pair; caller owns
+    shutdown."""
     import io
     import json
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -297,17 +321,22 @@ def serve_http(model: ServingModel, host: str = "127.0.0.1", port: int = 0,
             if self.path != "/predict":
                 self.send_error(404)
                 return
-            raw = self.rfile.read(int(self.headers["Content-Length"]))
             try:
+                raw = self.rfile.read(int(self.headers["Content-Length"]))
                 buf = io.BytesIO(raw)
                 if raw[:4] == b"PK\x03\x04":  # npz: multi-input request
                     with np.load(buf) as z:
+                        # keys sort in signature order (arg0, arg1, ...)
                         args = tuple(z[k] for k in sorted(z.files))
                 else:
                     args = (np.load(buf),)
                 result = batcher.submit(*args).result(timeout=60)
                 out = io.BytesIO()
-                np.save(out, np.asarray(result))
+                if isinstance(result, tuple):  # multi-output model: .npz
+                    np.savez(out, **{f"out{i}": np.asarray(r)
+                                     for i, r in enumerate(result)})
+                else:
+                    np.save(out, np.asarray(result))
                 body = out.getvalue()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/octet-stream")

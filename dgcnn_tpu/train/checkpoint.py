@@ -13,6 +13,13 @@ Mirrors the reference's three formats in a JAX-native serialization
 The reference's resume path has a latent bug (existence check on
 ``checkpoints/ckpt.checkpoint`` but load from ``ckpt.checkpoint`` —
 main_partseg_dist.py:182-185); here both use the same path.
+
+Compatibility note: train checkpoints serialize the optax opt_state
+structurally, so they resume only into the SAME optimizer construction.
+The OneCycle momentum-cycling change (optax.inject_hyperparams wrapping
+the partseg --scheduler=cycle optimizer) changed that structure once —
+checkpoints written before it cannot resume under cycle; bare model
+variables (formats a/b) are unaffected.
 """
 from __future__ import annotations
 

@@ -89,12 +89,13 @@ def one_cycle_momentum(total_steps: int, base_momentum: float = 0.85,
     return schedule
 
 
-def make_momentum_schedule(name: str, momentum: float, *, epochs: int,
-                           steps_per_epoch: int):
+def make_momentum_schedule(name: str, *, epochs: int, steps_per_epoch: int):
     """The momentum counterpart of :func:`make_schedule`: cycled for the
-    per-batch "cycle" scheduler (torch OneCycleLR overrides the
-    optimizer's constructed momentum every step), None (= keep the
-    constant ``momentum``) otherwise."""
+    per-batch "cycle" scheduler, None (= keep the optimizer's constant
+    momentum) otherwise.  The user's ``--momentum`` flag deliberately does
+    NOT feed the cycle: torch's OneCycleLR overwrites the constructed
+    momentum with its own 0.95/0.85 defaults every step, and the reference
+    inherits that."""
     if name == "cycle":
         return one_cycle_momentum(epochs * steps_per_epoch)
     return None

@@ -108,6 +108,47 @@ def test_submit_rejects_malformed_shapes(artifacts):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_cancelled_future_does_not_poison_batch_or_worker(artifacts):
+    """A client cancelling its Future must neither kill the worker thread
+    (hanging all later clients) nor corrupt batch-mates' results."""
+    from dgcnn_tpu.serve import BatchingServer, ServingModel
+
+    _, poly, ref = artifacts
+    m = ServingModel(poly, max_batch=4)
+    m.warmup()
+    srv = BatchingServer(m, max_delay_ms=100.0)
+    rng = np.random.RandomState(7)
+    a = rng.randn(32, 3).astype(np.float32)
+    b = rng.randn(32, 3).astype(np.float32)
+    fut_a = srv.submit(a)
+    fut_b = srv.submit(b)
+    assert fut_a.cancel()  # before the delay window closes
+    out_b = fut_b.result(timeout=60)
+    np.testing.assert_allclose(out_b, np.asarray(ref(b[None]))[0],
+                               rtol=1e-5, atol=1e-5)
+    # worker survived: a fresh request still serves
+    c = rng.randn(32, 3).astype(np.float32)
+    out_c = srv.submit(c).result(timeout=60)
+    srv.shutdown()
+    np.testing.assert_allclose(out_c, np.asarray(ref(c[None]))[0],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_submit_coerces_dtypes(artifacts):
+    """A float64/int request must not upcast or fail the whole coalesced
+    batch — it is cast to the artifact's signature dtype at submit()."""
+    from dgcnn_tpu.serve import BatchingServer, ServingModel
+
+    _, poly, ref = artifacts
+    m = ServingModel(poly, max_batch=4)
+    srv = BatchingServer(m, max_delay_ms=20.0)
+    pts64 = np.random.RandomState(8).randn(32, 3)  # float64
+    out = srv.submit(pts64).result(timeout=60)
+    srv.shutdown()
+    want = np.asarray(ref(pts64.astype(np.float32)[None]))[0]
+    np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-5)
+
+
 def test_batching_server_propagates_failures(artifacts):
     from dgcnn_tpu.serve import BatchingServer, ServingModel
 

@@ -194,7 +194,7 @@ def test_adamw_onecycle_trajectory_matches_torch():
         use_sgd=False, adamw=True,
         schedule=make_schedule("cycle", lr, epochs=epochs,
                                steps_per_epoch=spe, use_sgd=False),
-        momentum_schedule=make_momentum_schedule("cycle", 0.9, epochs=epochs,
+        momentum_schedule=make_momentum_schedule("cycle", epochs=epochs,
                                                  steps_per_epoch=spe))
     opt_state = tx.init(params)
 
