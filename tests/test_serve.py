@@ -202,6 +202,45 @@ def test_http_endpoint_roundtrip(artifacts):
         batcher.shutdown()
 
 
+def test_http_multi_input_npz(tmp_path):
+    """Multi-input signatures over HTTP: .npz keys sort in signature order
+    (arg0=points, arg1=category one-hot)."""
+    from dgcnn_tpu.export import export_model, save_exported
+    from dgcnn_tpu.models import Net
+    from dgcnn_tpu.serve import ServingModel, serve_http
+
+    model = Net(emb_dim=32, k=4, n_heads=2, n_blocks=1, ff_dims=16,
+                d_qkv=8, nclasses=50, dropout=0.0)
+    rng = np.random.RandomState(9)
+    pts = rng.randn(2, 32, 3).astype(np.float32)
+    lbl = np.eye(16, dtype=np.float32)[[3, 7]]
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(pts), jnp.asarray(lbl), train=False)
+    path = str(tmp_path / "net.shlo")
+    save_exported(path, export_model(
+        model, variables, (jnp.asarray(pts), jnp.asarray(lbl)),
+        polymorphic_batch=True))
+
+    m = ServingModel(path, max_batch=2)
+    m.warmup()
+    httpd, batcher = serve_http(m, port=0, max_delay_ms=1.0)
+    try:
+        buf = io.BytesIO()
+        np.savez(buf, arg0=pts[0], arg1=lbl[0])
+        resp = urllib.request.urlopen(urllib.request.Request(
+            f"http://127.0.0.1:{httpd.server_port}/predict",
+            data=buf.getvalue(), method="POST"), timeout=120)
+        out = np.load(io.BytesIO(resp.read()))
+        ref = jax.jit(lambda v, p, l: model.apply(v, p, l, train=False))
+        want = np.asarray(ref(variables, jnp.asarray(pts[:1]),
+                              jnp.asarray(lbl[:1])))[0]
+        np.testing.assert_allclose(out, want, rtol=1e-4, atol=1e-4)
+    finally:
+        httpd.shutdown()
+        batcher.shutdown()
+
+
 def test_mesh_if_divisible_rule_and_notice():
     from dgcnn_tpu.parallel import mesh_if_divisible
 
