@@ -53,11 +53,17 @@ class ServingModel:
     ``extra_args``: for multi-input signatures (e.g. the partseg ``Net``'s
     category one-hot) every input shares the leading batch axis and is
     padded/sliced together.
+
+    ``mesh``: a 1-D :class:`jax.sharding.Mesh` for DATA-PARALLEL serving —
+    each padded batch is sharded over its devices (GSPMD splits the
+    forward; per-device work = bucket / n_devices), scaling one serving
+    endpoint across a pod slice.  Requires a polymorphic artifact whose
+    ``max_batch`` is a mesh-size multiple, or a fixed artifact whose batch
+    divides over the mesh.
     """
 
-    def __init__(self, path: str, max_batch: int = 64):
+    def __init__(self, path: str, max_batch: int = 64, mesh=None):
         self._exported = load_exported_obj(path)
-        self._fn = self._exported.call
         lead = self._exported.in_avals[0].shape[0]
         # symbolic leading axis => polymorphic artifact (the artifact
         # itself is the source of truth; no override — a poly artifact
@@ -66,8 +72,38 @@ class ServingModel:
         self._fixed_batch = lead if isinstance(lead, int) else None
         self.max_batch = (self._fixed_batch if self._fixed_batch is not None
                           else max_batch)
-        self._buckets = (_bucket_sizes(self.max_batch) if self._poly
-                         else [self._fixed_batch])
+        self.mesh = mesh
+        if mesh is None:
+            self._fn = self._exported.call
+            self._buckets = (_bucket_sizes(self.max_batch) if self._poly
+                             else [self._fixed_batch])
+        else:
+            # data-parallel serving: jit the exported call with the batch
+            # axis sharded over the mesh — XLA splits every padded batch
+            # across the devices (per-device work = bucket / n_devices).
+            # Buckets must divide over the mesh, so the floor bucket is
+            # n_devices and the rest are its multiples.
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            axis = mesh.axis_names[0]
+            data_sh = NamedSharding(mesh, P(axis))
+            self._fn = jax.jit(self._exported.call, in_shardings=data_sh)
+            n_dev = mesh.devices.size
+            if not self._poly:
+                if self._fixed_batch % n_dev:
+                    raise ValueError(
+                        f"fixed artifact batch {self._fixed_batch} does not "
+                        f"divide over the {n_dev}-device mesh")
+                self._buckets = [self._fixed_batch]
+            else:
+                if self.max_batch % n_dev:
+                    raise ValueError(
+                        f"max_batch {self.max_batch} must be a multiple of "
+                        f"the mesh size {n_dev}")
+                self._buckets = [b * n_dev
+                                 for b in _bucket_sizes(self.max_batch
+                                                        // n_dev)]
         self._lock = threading.Lock()  # device calls serialized
 
     @property
@@ -364,8 +400,18 @@ def main(argv: Sequence[str] | None = None):
     p.add_argument("--port", type=int, default=8470)
     p.add_argument("--max_batch", type=int, default=64)
     p.add_argument("--max_delay_ms", type=float, default=5.0)
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard each batch over ALL local devices "
+                        "(pod-slice serving)")
     args = p.parse_args(argv)
-    model = ServingModel(args.artifact, max_batch=args.max_batch)
+    mesh = None
+    if args.data_parallel:
+        import jax
+
+        from dgcnn_tpu.parallel import make_mesh
+
+        mesh = make_mesh(jax.devices())
+    model = ServingModel(args.artifact, max_batch=args.max_batch, mesh=mesh)
     model.warmup()
     httpd, _ = serve_http(model, args.host, args.port,
                           max_delay_ms=args.max_delay_ms)

@@ -241,6 +241,29 @@ def test_http_multi_input_npz(tmp_path):
         batcher.shutdown()
 
 
+def test_data_parallel_serving_over_mesh(artifacts):
+    """ServingModel(mesh=...): padded batches shard over the 8-device CPU
+    mesh and results match single-device serving exactly."""
+    from dgcnn_tpu.parallel import make_mesh
+    from dgcnn_tpu.serve import ServingModel
+
+    _, poly, ref = artifacts
+    mesh = make_mesh(jax.devices()[:8])
+    m = ServingModel(poly, max_batch=16, mesh=mesh)
+    assert m._buckets == [8, 16]  # floor bucket = mesh size
+    m.warmup()
+    rng = np.random.RandomState(11)
+    for n in (3, 8, 13):
+        pts = rng.randn(n, 32, 3).astype(np.float32)
+        out = m.predict(pts)
+        assert out.shape == (n, 40)
+        np.testing.assert_allclose(out, np.asarray(ref(pts)), rtol=1e-5,
+                                   atol=1e-5)
+    # mis-sized configs are rejected up front, not at the first request
+    with pytest.raises(ValueError, match="multiple of the mesh size"):
+        ServingModel(poly, max_batch=12, mesh=mesh)
+
+
 def test_mesh_if_divisible_rule_and_notice():
     from dgcnn_tpu.parallel import mesh_if_divisible
 
