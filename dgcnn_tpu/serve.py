@@ -189,8 +189,30 @@ class BatchingServer:
         self._stop = False
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
-        # served-batch sizes, for telemetry/tests
+        # telemetry: served-batch sizes and per-request latencies (seconds,
+        # submit -> result delivery), both appended by the worker
         self.batch_log: list = []
+        self.latency_log: list = []
+        self._served = 0
+        self._failed = 0
+
+    def stats(self) -> dict:
+        """Serving telemetry snapshot: request counts, device-batch fill,
+        and request latency percentiles (over the last 4096 requests)."""
+        lats = np.asarray(self.latency_log[-4096:], dtype=np.float64)
+        sizes = np.asarray(self.batch_log[-4096:], dtype=np.float64)
+        return {
+            "served": self._served,
+            "failed": self._failed,
+            "device_batches": len(self.batch_log),
+            "mean_batch": float(sizes.mean()) if sizes.size else None,
+            "latency_ms": {
+                "p50": float(np.percentile(lats, 50) * 1e3),
+                "p95": float(np.percentile(lats, 95) * 1e3),
+                "p99": float(np.percentile(lats, 99) * 1e3),
+            } if lats.size else None,
+            "queue_depth": len(self._queue),
+        }
 
     def submit(self, *inputs: np.ndarray) -> Future:
         avals = self.model._exported.in_avals
@@ -219,7 +241,7 @@ class BatchingServer:
         with self._cv:
             if self._stop:
                 raise RuntimeError("server is shut down")
-            self._queue.append((items, fut))
+            self._queue.append((items, fut, time.monotonic()))
             self._cv.notify()
         return fut
 
@@ -254,8 +276,7 @@ class BatchingServer:
             del self._queue[:len(batch)]
             return batch
 
-    @staticmethod
-    def _deliver(fut: Future, value=None, exc=None) -> None:
+    def _deliver(self, fut: Future, t0: float, value=None, exc=None) -> None:
         """set_result/set_exception tolerant of client-side cancellation —
         an unguarded set_* on a cancelled future raises InvalidStateError,
         which would either kill the worker thread (hanging every later
@@ -265,21 +286,23 @@ class BatchingServer:
         try:
             if exc is not None:
                 fut.set_exception(exc)
+                self._failed += 1
             else:
                 fut.set_result(value)
+                self._served += 1
+                self.latency_log.append(time.monotonic() - t0)
         except Exception:  # lost the cancel race; result is abandoned
             pass
 
-    @classmethod
-    def _resolve(cls, futs, result, multi):
-        for i, fut in enumerate(futs):
-            cls._deliver(
-                fut, tuple(o[i] for o in result) if multi else result[i])
+    def _resolve(self, futs, t0s, result, multi):
+        for i, (fut, t0) in enumerate(zip(futs, t0s)):
+            self._deliver(
+                fut, t0, tuple(o[i] for o in result) if multi else result[i])
 
     def _run(self):
         from collections import deque
 
-        pending: deque = deque()  # (futs, ticket) in dispatch order
+        pending: deque = deque()  # (futs, t0s, ticket) in dispatch order
         while True:
             if not pending:
                 with self._cv:
@@ -287,27 +310,28 @@ class BatchingServer:
                         return
             batch = self._take_batch(pipeline_busy=bool(pending))
             if batch is not None:
-                items, futs = zip(*batch)
+                items, futs, t0s = zip(*batch)
                 try:
                     args = tuple(
                         np.concatenate([it[j] for it in items], axis=0)
                         for j in range(len(items[0])))
-                    pending.append((futs, self.model.dispatch(*args)))
+                    pending.append((futs, t0s, self.model.dispatch(*args)))
                     self.batch_log.append(len(batch))
                 except Exception as e:  # resolve, never hang clients
-                    for fut in futs:
-                        self._deliver(fut, exc=e)
+                    for fut, t0 in zip(futs, t0s):
+                        self._deliver(fut, t0, exc=e)
             # read back the oldest batch once the pipeline is full, or when
             # there is no new work to overlap with
             while pending and (len(pending) > self.pipeline_depth - 1
                                or batch is None):
-                futs, ticket = pending.popleft()
+                futs, t0s, ticket = pending.popleft()
                 try:
                     out = self.model.readback(ticket)
-                    self._resolve(futs, out, isinstance(out, (tuple, list)))
+                    self._resolve(futs, t0s, out,
+                                  isinstance(out, (tuple, list)))
                 except Exception as e:
-                    for fut in futs:
-                        self._deliver(fut, exc=e)
+                    for fut, t0 in zip(futs, t0s):
+                        self._deliver(fut, t0, exc=e)
                 break  # drain one, then look for new work again
 
     def shutdown(self, wait: bool = True):
@@ -339,14 +363,17 @@ def serve_http(model: ServingModel, host: str = "127.0.0.1", port: int = 0,
             pass
 
         def do_GET(self):
-            if self.path != "/healthz":
+            if self.path == "/stats":
+                body = json.dumps(batcher.stats()).encode()
+            elif self.path == "/healthz":
+                body = json.dumps({
+                    "platforms": list(model.platforms),
+                    "max_batch": model.max_batch,
+                    "buckets": model._buckets,
+                }).encode()
+            else:
                 self.send_error(404)
                 return
-            body = json.dumps({
-                "platforms": list(model.platforms),
-                "max_batch": model.max_batch,
-                "buckets": model._buckets,
-            }).encode()
             self.send_response(200)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))

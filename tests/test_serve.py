@@ -241,6 +241,36 @@ def test_http_multi_input_npz(tmp_path):
         batcher.shutdown()
 
 
+def test_stats_telemetry(artifacts):
+    """BatchingServer.stats() and the /stats endpoint report request
+    counts, batch fill, and latency percentiles."""
+    import json
+
+    from dgcnn_tpu.serve import ServingModel, serve_http
+
+    _, poly, ref = artifacts
+    m = ServingModel(poly, max_batch=4)
+    m.warmup()
+    httpd, batcher = serve_http(m, port=0, max_delay_ms=1.0)
+    try:
+        base = f"http://127.0.0.1:{httpd.server_port}"
+        rng = np.random.RandomState(12)
+        for _ in range(3):
+            buf = io.BytesIO()
+            np.save(buf, rng.randn(32, 3).astype(np.float32))
+            urllib.request.urlopen(urllib.request.Request(
+                base + "/predict", data=buf.getvalue(), method="POST"),
+                timeout=60).read()
+        stats = json.loads(urllib.request.urlopen(
+            base + "/stats", timeout=30).read())
+        assert stats["served"] == 3 and stats["failed"] == 0
+        assert stats["latency_ms"]["p50"] > 0
+        assert stats["mean_batch"] >= 1
+    finally:
+        httpd.shutdown()
+        batcher.shutdown()
+
+
 def test_data_parallel_serving_over_mesh(artifacts):
     """ServingModel(mesh=...): padded batches shard over the 8-device CPU
     mesh and results match single-device serving exactly."""
