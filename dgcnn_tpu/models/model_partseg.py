@@ -92,17 +92,21 @@ class Net(nn.Module):
         src_embedding = DGCNN(self.emb_dim, self.k, axis_name=ax, name="emb_nn")(
             src, train
         )
-        # AMP eval (the default bench path): transformer stack, grads_emb
-        # and MLPHead convs compute in bf16 — params stay f32, BatchNorm/
-        # LayerNorm statistics and softmax run f32 — mirroring the
-        # reference's fp16-autocast numerics (main_partseg_dist.py:221).
-        # DGCNN_TPU_PALLAS_EXACT=1 keeps everything f32 (parity tests).
+        # AMP (the default bench paths, train AND eval): transformer stack,
+        # grads_emb and MLPHead convs compute in bf16 — params stay f32,
+        # BatchNorm/LayerNorm statistics and softmax run f32 — mirroring the
+        # reference's fp16-autocast numerics, which the reference applies to
+        # the TRAINING forward too (main_partseg_dist.py:221 wraps the train
+        # step in torch.cuda.amp.autocast; bf16 needs no GradScaler).  In
+        # training this halves the dense-attention prob-tensor HBM traffic
+        # (flash is off under prob-dropout) and every activation round-trip
+        # in the fwd+bwd pair.  DGCNN_TPU_PALLAS_EXACT=1 keeps everything
+        # f32 (parity tests).
         import os as _os
 
-        xf_dtype = (jnp.bfloat16
-                    if not train and not _os.environ.get(
-                        "DGCNN_TPU_PALLAS_EXACT")
-                    else jnp.float32)
+        xf_dtype = (jnp.float32
+                    if _os.environ.get("DGCNN_TPU_PALLAS_EXACT")
+                    else jnp.bfloat16)
 
         # (B, N, 18) — on-device HOG (reference round-trips through CPU LAPACK)
         tgt = compute_hog(src, self.k, bug_compat=self.hog_bug_compat)

@@ -68,6 +68,11 @@ class BatchNorm(nn.Module):
             s = scale * jax.lax.rsqrt(var + self.eps)
             return s, bias - mean * s
         if train:
+            # torch autocast always runs BatchNorm in f32 (it is on the
+            # fp32 autocast list): with bf16 activations the batch moments
+            # would otherwise round to bf16 and E[x^2]-E[x]^2 cancels
+            # catastrophically.  f32 in, this is a no-op.
+            x = jnp.asarray(x, jnp.float32)
             axes = tuple(range(x.ndim - 1))
             mean = jnp.mean(x, axis=axes)
             mean2 = jnp.mean(jnp.square(x), axis=axes)

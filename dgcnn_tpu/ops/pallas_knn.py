@@ -1101,12 +1101,18 @@ def fused_knn_edge2(
 
 
 def _pick_tile_scratch(n: int, k: int, c: int, budget=4 * 1024 * 1024) -> int:
-    """Largest tile with both the (tile, N) working set ~2MB (bigger spills
-    vector registers at N=4096 — observed 167MB of spill slots) and the
-    (k, tile, c) f32 selection scratch within the VMEM budget."""
+    """Largest tile with (a) the (tile, N) working set ~2MB (bigger spills
+    vector registers at N=4096 — observed 167MB of spill slots), (b) the
+    (k, tile, c) f32 selection scratch within the VMEM budget, and (c) the
+    UNROLLED k-loop's live (tile, N) temporaries within Mosaic's scoped-vmem
+    stack: the bwd kernels unroll two k-loops whose per-iteration one-hots
+    Mosaic stacks rather than reuses, so k*tile*N*4 must stay ~48MB or the
+    kernel VMEM-OOMs at compile time (measured: 84MB fails at
+    n=2048/k=40/tile=256 with a 96MB cap; 42MB compiles at every config)."""
     for cand in (512, 256, 128):
         if (n % cand == 0 and cand * n * 4 <= 2 * 1024 * 1024
-                and k * cand * c * 4 <= budget):
+                and k * cand * c * 4 <= budget
+                and k * cand * n * 4 <= 48 * 1024 * 1024):
             return cand
     return TILE_N
 
