@@ -26,16 +26,10 @@ from flax import linen as nn
 from dgcnn_tpu.models.nn_layers import leaky_relu
 
 
-def _use_flash(train: bool, dropout: float, qshape, kshape) -> bool:
-    """Serve softmax attention with the blockwise Pallas kernel: TPU
-    backend, eval (or dropout-free — the kernel has no prob-dropout),
-    block-aligned query/key lengths and head dim, not disabled
-    (DGCNN_TPU_FLASH=0)."""
+def _pallas_ok(qshape, kshape) -> bool:
     import os
 
     if os.environ.get("DGCNN_TPU_FLASH") == "0":
-        return False
-    if train and dropout > 0.0:
         return False
     if qshape[2] % 128 or kshape[2] % 128 or qshape[3] % 128:
         return False
@@ -43,6 +37,31 @@ def _use_flash(train: bool, dropout: float, qshape, kshape) -> bool:
         return jax.default_backend() == "tpu"
     except RuntimeError:
         return False
+
+
+def _use_flash(train: bool, dropout: float, qshape, kshape) -> bool:
+    """Serve eval/dropout-free softmax attention with the blockwise (flash)
+    library kernel: TPU backend, block-aligned lengths and head dim, not
+    disabled (DGCNN_TPU_FLASH=0)."""
+    return not (train and dropout > 0.0) and _pallas_ok(qshape, kshape)
+
+
+def _use_fused_dropout(train: bool, dropout: float, qshape, kshape) -> bool:
+    """Serve TRAINING attention (prob-dropout active) with the fused
+    whole-KV-resident kernel (ops/pallas_attention.py): the (B, h, N, N)
+    prob/mask tensors never touch HBM in fwd OR bwd.  Off under
+    DGCNN_TPU_PALLAS_EXACT=1 — exact mode keeps the dense XLA fallback
+    (reference softmax+dropout+matmul semantics, op for op)."""
+    import os
+
+    from dgcnn_tpu.ops import pallas_attention
+
+    if not (train and dropout > 0.0):
+        return False
+    if os.environ.get("DGCNN_TPU_PALLAS_EXACT"):
+        return False
+    return _pallas_ok(qshape, kshape) and pallas_attention.supported(
+        qshape, kshape)
 
 
 class TorchMultiheadAttention(nn.Module):
@@ -98,7 +117,23 @@ class TorchMultiheadAttention(nn.Module):
             return x.reshape(b, -1, h, d).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
-        if _use_flash(train, self.dropout, q.shape, k.shape):
+        if _use_fused_dropout(train, self.dropout, q.shape, k.shape):
+            # training attention with prob-dropout drawn by the on-core
+            # PRNG inside the kernel (ops/pallas_attention.py): probs and
+            # mask stay in VMEM; the custom VJP regenerates the mask from
+            # the seed instead of saving (B, h, N, N) tensors for the
+            # backward.  One fresh int32 seed per call from the module's
+            # dropout stream (a different Bernoulli stream than
+            # nn.Dropout's — same distribution, documented deviation).
+            from dgcnn_tpu.ops.pallas_attention import fused_attention
+
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (1,), 0, jnp.iinfo(jnp.int32).max,
+                dtype=jnp.int32)
+            out = fused_attention(
+                q, k, v, sm_scale=1.0 / float(d) ** 0.5,
+                dropout_rate=self.dropout, seed=seed)
+        elif _use_flash(train, self.dropout, q.shape, k.shape):
             # blockwise (flash) attention: the (B, h, Nq, Nk) score/prob
             # tensors never leave VMEM — exact softmax attention with
             # online normalization (identical math, fp-level differences).

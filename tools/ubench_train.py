@@ -35,6 +35,10 @@ def main() -> None:
     p.add_argument("--n", type=int, default=None)
     p.add_argument("--k", type=int, default=None)
     p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--dropout", type=float, default=None,
+                   help="override model dropout (partseg: 0 turns flash "
+                        "attention on in training — bounds the win of a "
+                        "dropout-capable flash kernel)")
     p.add_argument("--epoch", action="store_true",
                    help="also measure a ModelNet40-scale (9840-sample) "
                         "resident train epoch (--device_pipeline path: "
@@ -75,8 +79,9 @@ def main() -> None:
     elif args.model == "partseg":
         from dgcnn_tpu.models import Net
 
+        kw = {} if args.dropout is None else {"dropout": args.dropout}
         model = Net(emb_dim=512, k=args.k, n_heads=2, n_blocks=2,
-                    ff_dims=512, d_qkv=64, nclasses=50)
+                    ff_dims=512, d_qkv=64, nclasses=50, **kw)
         points = jnp.asarray(
             rng.randn(args.batch, args.n, 3).astype(np.float32))
         lbl1h = jnp.asarray(
