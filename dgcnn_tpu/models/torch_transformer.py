@@ -42,22 +42,23 @@ def _pallas_ok(qshape, kshape) -> bool:
 def _use_flash(train: bool, dropout: float, qshape, kshape) -> bool:
     """Serve eval/dropout-free softmax attention with the blockwise (flash)
     library kernel: TPU backend, block-aligned lengths and head dim, not
-    disabled (DGCNN_TPU_FLASH=0)."""
+    disabled (DGCNN_TPU_FLASH=0).  Only reached when the fused kernel's
+    shape guard rejects (it is faster where supported: 8.2 vs 8.7 ms at
+    B128 h2 N2048 d256, tools/ubench_attention.py)."""
     return not (train and dropout > 0.0) and _pallas_ok(qshape, kshape)
 
 
-def _use_fused_dropout(train: bool, dropout: float, qshape, kshape) -> bool:
-    """Serve TRAINING attention (prob-dropout active) with the fused
-    whole-KV-resident kernel (ops/pallas_attention.py): the (B, h, N, N)
-    prob/mask tensors never touch HBM in fwd OR bwd.  Off under
-    DGCNN_TPU_PALLAS_EXACT=1 — exact mode keeps the dense XLA fallback
-    (reference softmax+dropout+matmul semantics, op for op)."""
+def _use_fused(train: bool, dropout: float, qshape, kshape) -> bool:
+    """Serve softmax attention with the fused whole-KV-resident kernel
+    (ops/pallas_attention.py): the (B, h, N, N) prob/mask tensors never
+    touch HBM in fwd OR bwd — including TRAINING with prob-dropout, drawn
+    from the on-core PRNG (no other path avoids materializing the mask).
+    Off under DGCNN_TPU_PALLAS_EXACT=1 — exact mode keeps the dense XLA
+    fallback (reference softmax+dropout+matmul semantics, op for op)."""
     import os
 
     from dgcnn_tpu.ops import pallas_attention
 
-    if not (train and dropout > 0.0):
-        return False
     if os.environ.get("DGCNN_TPU_PALLAS_EXACT"):
         return False
     return _pallas_ok(qshape, kshape) and pallas_attention.supported(
@@ -117,22 +118,25 @@ class TorchMultiheadAttention(nn.Module):
             return x.reshape(b, -1, h, d).transpose(0, 2, 1, 3)
 
         q, k, v = heads(q), heads(k), heads(v)
-        if _use_fused_dropout(train, self.dropout, q.shape, k.shape):
-            # training attention with prob-dropout drawn by the on-core
-            # PRNG inside the kernel (ops/pallas_attention.py): probs and
-            # mask stay in VMEM; the custom VJP regenerates the mask from
-            # the seed instead of saving (B, h, N, N) tensors for the
-            # backward.  One fresh int32 seed per call from the module's
-            # dropout stream (a different Bernoulli stream than
-            # nn.Dropout's — same distribution, documented deviation).
+        if _use_fused(train, self.dropout, q.shape, k.shape):
+            # fused whole-KV-resident attention; in training the prob-
+            # dropout mask is drawn by the on-core PRNG inside the kernel
+            # (ops/pallas_attention.py): probs and mask stay in VMEM; the
+            # custom VJP regenerates the mask from the seed instead of
+            # saving (B, h, N, N) tensors for the backward.  One fresh
+            # int32 seed per call from the module's dropout stream (a
+            # different Bernoulli stream than nn.Dropout's — same
+            # distribution, documented deviation).
             from dgcnn_tpu.ops.pallas_attention import fused_attention
 
-            seed = jax.random.randint(
-                self.make_rng("dropout"), (1,), 0, jnp.iinfo(jnp.int32).max,
-                dtype=jnp.int32)
+            rate = self.dropout if train else 0.0
+            seed = (jax.random.randint(
+                self.make_rng("dropout"), (1,), 0,
+                jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+                if rate > 0.0 else None)
             out = fused_attention(
                 q, k, v, sm_scale=1.0 / float(d) ** 0.5,
-                dropout_rate=self.dropout, seed=seed)
+                dropout_rate=rate, seed=seed)
         elif _use_flash(train, self.dropout, q.shape, k.shape):
             # blockwise (flash) attention: the (B, h, Nq, Nk) score/prob
             # tensors never leave VMEM — exact softmax attention with

@@ -113,14 +113,14 @@ def test_supported_shapes():
 
 
 def test_dispatch_gating(monkeypatch):
-    """_use_fused_dropout: training+dropout only, off under EXACT."""
-    from dgcnn_tpu.models.torch_transformer import _use_fused_dropout
+    """_use_fused: off under EXACT, off on the CPU backend."""
+    from dgcnn_tpu.models.torch_transformer import _use_fused
 
     qs = ks = (2, 2, 2048, 256)
     monkeypatch.delenv("DGCNN_TPU_PALLAS_EXACT", raising=False)
     # CPU backend in tests -> False regardless
-    assert not _use_fused_dropout(True, 0.5, qs, ks)
-    assert not _use_fused_dropout(False, 0.5, qs, ks)
-    assert not _use_fused_dropout(True, 0.0, qs, ks)
+    assert not _use_fused(True, 0.5, qs, ks)
+    assert not _use_fused(False, 0.5, qs, ks)
+    assert not _use_fused(True, 0.0, qs, ks)
     monkeypatch.setenv("DGCNN_TPU_PALLAS_EXACT", "1")
-    assert not _use_fused_dropout(True, 0.5, qs, ks)
+    assert not _use_fused(True, 0.5, qs, ks)
