@@ -61,6 +61,8 @@ def _use_fused(train: bool, dropout: float, qshape, kshape) -> bool:
 
     if os.environ.get("DGCNN_TPU_PALLAS_EXACT"):
         return False
+    if os.environ.get("DGCNN_TPU_FUSED_ATTN") == "0":  # experiments
+        return False
     return _pallas_ok(qshape, kshape) and pallas_attention.supported(
         qshape, kshape)
 

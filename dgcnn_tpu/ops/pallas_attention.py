@@ -43,12 +43,24 @@ import numpy as np
 from dgcnn_tpu.ops.pallas_knn import _auto_interpret
 
 
-def _pick_tile_q(nq: int, nk: int, d: int) -> int:
-    """Largest query tile keeping the five live (TQ, Nk) f32 temporaries of
-    the bwd kernel (scores, probs, mask, dprobs, dscores) plus the K/V/dk/dv
-    slabs within a ~48 MB scoped-VMEM budget."""
+def _pick_tile_q(nq: int, nk: int, d: int, live: int = 5) -> int:
+    """Largest query tile keeping ``live`` (TQ, Nk) f32 temporaries plus
+    the K/V slabs within a ~48 MB scoped-VMEM budget.  With dropout the
+    bwd kernel holds five such temporaries (scores, probs, mask, dprobs,
+    dscores) and the fwd/bwd tiles MUST agree (the per-tile PRNG streams
+    align by flat tile id), so both pick with live=5; the dropout-free
+    forward holds two and the dropout-free bwd four, each free to pick
+    its own tile.  DGCNN_TPU_ATTN_TILE overrides (trace-time
+    experiments)."""
+    import os
+
+    forced = os.environ.get("DGCNN_TPU_ATTN_TILE")
+    if forced and forced.isdigit() and int(forced) and nq % int(forced) == 0:
+        return int(forced)
+    # 2048 (whole-Nq programs) measured no better than 1024 at the Net
+    # eval shape (8.32 vs 8.22 ms) — fewer grid programs lose DMA overlap
     for tq in (1024, 512, 256, 128):
-        if nq % tq == 0 and 5 * tq * nk * 4 + 4 * nk * d * 4 <= 48 * 1024 * 1024:
+        if nq % tq == 0 and (live * tq * nk + 4 * nk * d) * 4 <= 48 * 1024 * 1024:
             return tq
     return 0
 
@@ -193,7 +205,7 @@ def _attn_fwd_impl(q, k, v, seed, rate, scale, interpret):
 
     b, h, nq, d = q.shape
     nk = k.shape[2]
-    tq = _pick_tile_q(nq, nk, d)
+    tq = _pick_tile_q(nq, nk, d, live=5 if rate > 0.0 else 2)
     q_spec, kv_spec, seed_spec = _specs(b, h, nq, nk, d, tq)
     flops = 2 * b * h * nq * nk * d * 2
     return pl.pallas_call(
@@ -227,7 +239,7 @@ def _attn_bwd_impl(q, k, v, seed, do, rate, scale, interpret):
 
     b, h, nq, d = q.shape
     nk = k.shape[2]
-    tq = _pick_tile_q(nq, nk, d)
+    tq = _pick_tile_q(nq, nk, d, live=5 if rate > 0.0 else 4)
     q_spec, kv_spec, seed_spec = _specs(b, h, nq, nk, d, tq)
     flops = 5 * b * h * nq * nk * d * 2
     return pl.pallas_call(
