@@ -1,7 +1,11 @@
 #!/usr/bin/env python
 """Break down the fusion-Net partseg forward: time each sub-block at the
 bench config (B=64, N=2048, k=32, emb=512) with the chained-readback
-harness.  Usage: python tools/ubench_partseg_parts.py [--part all]"""
+harness.  Usage: python tools/ubench_partseg_parts.py [--part all]
+
+--grad times TRAIN-mode fwd+bwd per sub-block instead (grads w.r.t.
+params, dropout active, batch_stats mutable) — the train-step
+decomposition; use --batch 24 to match the run.sh global batch."""
 from __future__ import annotations
 
 import argparse, json, os, sys, time
@@ -27,6 +31,8 @@ def main() -> None:
     p.add_argument("--n", type=int, default=2048)
     p.add_argument("--k", type=int, default=32)
     p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--grad", action="store_true",
+                   help="train-mode fwd+bwd per part (see docstring)")
     args = p.parse_args()
 
     from dgcnn_tpu.utils import enable_compilation_cache
@@ -35,6 +41,7 @@ def main() -> None:
 
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(args.batch, args.n, 3).astype(np.float32) * 0.5)
+    train = args.grad
 
     def chain(model_apply):
         def chained(x0, iters):
@@ -48,6 +55,32 @@ def main() -> None:
             return acc
         return jax.jit(chained, static_argnums=(1,))
 
+    def chain_grad(m, v, *extra):
+        """TRAIN fwd+bwd: grads of sum(out) w.r.t. params, dropout rng,
+        batch_stats mutable.  Readback depends on the grad tree."""
+        params, rest = v["params"], {k_: v_ for k_, v_ in v.items()
+                                     if k_ != "params"}
+
+        def loss(p_, xc):
+            out, _ = m.apply({"params": p_, **rest}, xc, *extra,
+                             train=True, mutable=["batch_stats"],
+                             rngs={"dropout": jax.random.PRNGKey(2)})
+            return jnp.sum(out.astype(jnp.float32)) * 1e-12
+
+        gfn = jax.grad(loss)
+
+        def chained(x0, iters):
+            def body(_, carry):
+                acc, xc = carry
+                g = gfn(params, xc)
+                s = jax.tree.reduce(
+                    lambda a, b: a + jnp.sum(b) * 1e-12, g, jnp.float32(0))
+                return acc + s, x0 + s
+            acc, _ = jax.lax.fori_loop(0, iters, body,
+                                       (jnp.float32(0), x0))
+            return acc
+        return jax.jit(chained, static_argnums=(1,))
+
     parts = {}
 
     if args.part in ("all", "dgcnn"):
@@ -55,8 +88,8 @@ def main() -> None:
 
         m = DGCNN(emb_dims=512, k=args.k)
         v = m.init({"params": jax.random.PRNGKey(0)}, x[:1], train=False)
-        parts["dgcnn_backbone"] = chain(
-            lambda xc, m=m, v=v: m.apply(v, xc, train=False))
+        parts["dgcnn_backbone"] = (chain_grad(m, v) if train else chain(
+            lambda xc, m=m, v=v: m.apply(v, xc, train=False)))
     if args.part in ("all", "hog"):
         from dgcnn_tpu.ops.hog import compute_hog
 
@@ -66,8 +99,8 @@ def main() -> None:
 
         m = PositionEmbedding(k=args.k)
         v = m.init({"params": jax.random.PRNGKey(0)}, x[:1], train=False)
-        parts["pos_embedding"] = chain(
-            lambda xc, m=m, v=v: m.apply(v, xc, train=False))
+        parts["pos_embedding"] = (chain_grad(m, v) if train else chain(
+            lambda xc, m=m, v=v: m.apply(v, xc, train=False)))
     if args.part in ("all", "xform"):
         from dgcnn_tpu.models.torch_transformer import (
             TorchMultiheadAttention,
@@ -75,12 +108,13 @@ def main() -> None:
         )
 
         emb = 512
+        drop = 0.5 if train else 0.0
         xf = TorchTransformer(
             d_model=emb, nhead=2, num_encoder_layers=2,
-            num_decoder_layers=2, dim_feedforward=512, dropout=0.0,
+            num_decoder_layers=2, dim_feedforward=512, dropout=drop,
             encoder_activation="leaky_relu", decoder_activation="relu",
             dtype=jnp.bfloat16)
-        att = TorchMultiheadAttention(emb, 2, 0.0, dtype=jnp.bfloat16)
+        att = TorchMultiheadAttention(emb, 2, drop, dtype=jnp.bfloat16)
         se = jnp.asarray(rng.randn(args.batch, args.n, emb)
                          .astype(np.float32) * 0.2)
         te = jnp.asarray(rng.randn(args.batch, args.n, emb)
@@ -92,19 +126,45 @@ def main() -> None:
         # se/te must be ARGUMENTS of the jitted fn: closing over them bakes
         # 2x 256 MB constants into the program, which the axon tunnel's
         # remote-compile endpoint rejects (HTTP 413)
-        def chained_xf(se_a, te_a, iters, vx=vx, va=va):
-            def body(_, carry):
-                acc, s_c = carry
-                both = xf.apply(
-                    vx, jnp.concatenate([se_a + s_c, te_a], 0),
-                    jnp.concatenate([te_a, se_a], 0))
-                sp, tp = jnp.split(both, 2, axis=0)
-                out = att.apply(va, tp, sp, sp)
-                s = jnp.sum(out).astype(jnp.float32) * 1e-12
-                return acc + s, s
-            acc, _ = jax.lax.fori_loop(
-                0, iters, body, (jnp.float32(0), jnp.float32(0)))
-            return acc
+        def stack(vx_, va_, se_a, te_a):
+            both = xf.apply(
+                vx_, jnp.concatenate([se_a, te_a], 0),
+                jnp.concatenate([te_a, se_a], 0), train=train,
+                rngs={"dropout": jax.random.PRNGKey(2)} if train else None)
+            sp, tp = jnp.split(both, 2, axis=0)
+            return att.apply(
+                va_, tp, sp, sp, train=train,
+                rngs={"dropout": jax.random.PRNGKey(3)} if train else None)
+
+        if train:
+            def loss(ps, se_a, te_a, vx=vx, va=va):
+                out = stack({**vx, "params": ps[0]},
+                            {**va, "params": ps[1]}, se_a, te_a)
+                return jnp.sum(out.astype(jnp.float32)) * 1e-12
+
+            gfn = jax.grad(loss)
+
+            def chained_xf(se_a, te_a, iters, vx=vx, va=va):
+                def body(_, carry):
+                    acc, s_c = carry
+                    g = gfn((vx["params"], va["params"]), se_a + s_c, te_a)
+                    s = jax.tree.reduce(
+                        lambda a, b: a + jnp.sum(b) * 1e-12, g,
+                        jnp.float32(0))
+                    return acc + s, s
+                acc, _ = jax.lax.fori_loop(
+                    0, iters, body, (jnp.float32(0), jnp.float32(0)))
+                return acc
+        else:
+            def chained_xf(se_a, te_a, iters, vx=vx, va=va):
+                def body(_, carry):
+                    acc, s_c = carry
+                    out = stack(vx, va, se_a + s_c, te_a)
+                    s = jnp.sum(out).astype(jnp.float32) * 1e-12
+                    return acc + s, s
+                acc, _ = jax.lax.fori_loop(
+                    0, iters, body, (jnp.float32(0), jnp.float32(0)))
+                return acc
 
         parts["transformer_stack"] = (
             jax.jit(chained_xf, static_argnums=(2,)), (se, te))
@@ -118,8 +178,8 @@ def main() -> None:
         v = m.init({"params": jax.random.PRNGKey(0),
                     "dropout": jax.random.PRNGKey(1)}, x[:1], lbl[:1],
                    train=False)
-        parts["net_full"] = chain(
-            lambda xc, m=m, v=v: m.apply(v, xc, lbl, train=False))
+        parts["net_full"] = (chain_grad(m, v, lbl) if train else chain(
+            lambda xc, m=m, v=v: m.apply(v, xc, lbl, train=False)))
 
     for name, entry in parts.items():
         run, call_args = entry if isinstance(entry, tuple) else (entry, (x,))
