@@ -33,6 +33,7 @@ from dgcnn_tpu.train import (
     make_optimizer,
     make_schedule,
     save_model,
+    train_rng,
 )
 from dgcnn_tpu.utils import IOStream, enable_compilation_cache
 
@@ -115,7 +116,7 @@ def _train_device_pipeline(args, io, state, train_step, eval_step,
         with profile_epoch(args, epoch):
             state, mets = epoch_fn(
                 state, tr_arrays,
-                jax.random.fold_in(jax.random.PRNGKey(args.seed), epoch),
+                jax.random.fold_in(train_rng(args.seed), epoch),
                 args.batch_size)
             losses = np.asarray(mets["loss"])  # one readback for the epoch
         rate = tput.tick(steps_per_epoch * args.batch_size)
@@ -180,7 +181,7 @@ def train(args, io: IOStream):
                                           donate=True)
     eval_call = build_data_parallel_call(eval_step, devices,
                                          args.test_batch_size, n_sharded=3)
-    key = jax.random.PRNGKey(args.seed)
+    key = train_rng(args.seed)
 
     best_test_acc = 0.0
     tput = ThroughputMeter()

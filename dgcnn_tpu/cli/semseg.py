@@ -33,6 +33,7 @@ from dgcnn_tpu.train import (
     make_schedule,
     make_seg_steps,
     save_model,
+    train_rng,
 )
 from dgcnn_tpu.utils import IOStream, enable_compilation_cache
 from dgcnn_tpu.utils.visualization import SemSegVisualizer
@@ -123,7 +124,7 @@ def train(args, io: IOStream):
                                           donate=True)
     eval_call = build_data_parallel_call(eval_step, devices,
                                          args.test_batch_size, n_sharded=3)
-    key = jax.random.PRNGKey(args.seed)
+    key = train_rng(args.seed)
 
     best_test_iou = 0.0
     for epoch in range(args.epochs):
@@ -133,7 +134,7 @@ def train(args, io: IOStream):
         if dp_epoch is not None:
             state, mets = dp_epoch(
                 state, tr_arrays,
-                jax.random.fold_in(jax.random.PRNGKey(args.seed), epoch),
+                jax.random.fold_in(train_rng(args.seed), epoch),
                 args.batch_size)
             mets = {k: np.asarray(v) for k, v in mets.items()}  # 1 readback
             full = np.ones(args.batch_size, bool)

@@ -31,6 +31,41 @@ from dgcnn_tpu.train.loss import (
 )
 
 
+def train_rng(seed: int) -> jax.Array:
+    """Key for the training-step rng stream (dropout masks, and — under the
+    device pipeline — shuffle/augment draws).
+
+    Default impl is ``rbg``: mask bits come from XLA's ``RngBitGenerator``
+    (the TPU hardware generator) instead of threefry2x32.  The fusion-Net
+    train step draws ~700M Bernoulli samples per step (14 residual/FF
+    dropout masks over (2B, N, 512)); threefry computes them on the VPU at
+    ~42 ms/step at the run.sh config while rbg is near-free
+    (transformer-stack fwd+bwd 173.9 -> 132.1 ms, B24 N2048,
+    tools/ubench_partseg_parts.py --grad --rng_impl).  Same Bernoulli
+    distribution, different stream — the reference's torch streams never
+    matched bitwise anyway (PARITY.md).  ``DGCNN_TPU_PALLAS_EXACT=1`` keeps
+    threefry: its stream is backend-stable, which the pinned-trajectory
+    tests rely on.
+
+    rbg is TPU-only: on the CPU backend, a GSPMD-partitioned train step
+    containing ``RngBitGenerator`` deadlocks XLA's in-process collectives
+    (``AwaitAndLogIfStuck`` inside ``InProcessCommunicator::AllReduce``,
+    observed on the 8-virtual-device test mesh) — so tests and the CPU
+    dryrun keep threefry.
+    """
+    import os
+
+    if os.environ.get("DGCNN_TPU_PALLAS_EXACT"):
+        return jax.random.PRNGKey(seed)
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except RuntimeError:
+        on_tpu = False
+    if not on_tpu:
+        return jax.random.PRNGKey(seed)
+    return jax.random.key(seed, impl="rbg")
+
+
 class TrainState(struct.PyTreeNode):
     step: jax.Array
     params: Any

@@ -263,3 +263,42 @@ def test_orbax_checkpoint_roundtrip(tmp_path):
     for a, b in zip(jax.tree.leaves(state.params),
                     jax.tree.leaves(restored.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_train_rng_impl_and_step():
+    """train_rng defaults to the rbg impl (TPU-hardware mask bits,
+    engine.train_rng docstring); DGCNN_TPU_PALLAS_EXACT=1 keeps the
+    backend-stable threefry stream.  A dropout-bearing train step must run
+    with the rbg key and draw per-step-distinct masks via fold_in."""
+    import os
+    from unittest import mock
+
+    from dgcnn_tpu.models import DGCNNCls
+    from dgcnn_tpu.train import train_rng
+
+    # on the CPU test backend train_rng must stay threefry (rbg deadlocks
+    # XLA's in-process CPU collectives — engine.train_rng docstring); the
+    # rbg TPU branch is exercised on-chip by tools/ubench_train.py
+    k = train_rng(0)
+    expected = "rbg" if jax.default_backend() == "tpu" else "threefry"
+    assert expected in str(jax.random.key_impl(k))
+    with mock.patch.dict(os.environ, {"DGCNN_TPU_PALLAS_EXACT": "1"}):
+        ke = train_rng(0)
+    assert "rbg" not in str(jax.random.key_impl(ke))
+
+    model = DGCNNCls(emb_dims=16, k=4, output_channels=4, dropout=0.5)
+    rng = np.random.RandomState(9)
+    pts = jnp.asarray(rng.randn(2, 16, 3).astype(np.float32))
+    lbl = jnp.asarray(rng.randint(0, 4, size=(2,)))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, pts, train=False)
+    tx = make_optimizer(use_sgd=True, schedule=lambda _: 1e-3)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables["batch_stats"], tx=tx,
+    )
+    train_step, _ = make_cls_steps(model)
+    s1, m1 = train_step(state, pts, lbl, k)
+    s2, m2 = train_step(s1, pts, lbl, k)  # same key: step fold_in differs
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+    # identical inputs + params moving: losses must differ (masks re-drawn)
+    assert float(m1["loss"]) != float(m2["loss"])

@@ -17,8 +17,10 @@ under fp16 autocast (main_partseg_dist.py:221) and its f32 score form
 relative cancellation noise, the same error class the AMP path introduces.
 
 Usage: python tools/parity_drift.py [--model cls|partseg|semseg|all]
-       [--gate 0.995] [--batch 64] [--json]
+       [--gate 0.995] [--batch 64] [--train]
 Prints one JSON line per model; exits 1 if any agreement < gate.
+``--train`` gates the TRAINING path instead: one fwd+grad per mode
+(dropout 0), compared on loss and full-gradient cosine (>= gate).
 """
 from __future__ import annotations
 
@@ -35,7 +37,8 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CHILD = os.path.join(ROOT, "tools", "_drift_child.py")
 
 
-def run_mode(model: str, out: str, exact: bool, batch: int) -> None:
+def run_mode(model: str, out: str, exact: bool, batch: int,
+             train: bool = False) -> None:
     env = dict(os.environ)
     if exact:
         env["DGCNN_TPU_PALLAS_EXACT"] = "1"
@@ -45,9 +48,10 @@ def run_mode(model: str, out: str, exact: bool, batch: int) -> None:
         if model == "semseg":
             # the semseg CLI's duplicate-safe pin (cli/semseg.py)
             env.setdefault("DGCNN_TPU_EXTRACT", "v2")
-    subprocess.run(
-        [sys.executable, CHILD, model, out, f"--batch={batch}"],
-        env=env, check=True, cwd=ROOT)
+    cmd = [sys.executable, CHILD, model, out, f"--batch={batch}"]
+    if train:
+        cmd.append("--train")
+    subprocess.run(cmd, env=env, check=True, cwd=ROOT)
 
 
 def measure(model: str, batch: int) -> dict:
@@ -72,21 +76,59 @@ def measure(model: str, batch: int) -> dict:
     }
 
 
+def measure_train(model: str, batch: int) -> dict:
+    """TRAIN-path drift: same weights+batch through exact and AMP training
+    kernels (dropout 0), compared on loss and full-gradient direction.
+    The reference itself trains under fp16 autocast
+    (main_partseg_dist.py:221), so AMP training numerics match its error
+    class; this quantifies ours against the f32-exact path."""
+    with tempfile.TemporaryDirectory() as td:
+        amp_path = os.path.join(td, "amp.npz")
+        exact_path = os.path.join(td, "exact.npz")
+        run_mode(model, amp_path, exact=False, batch=batch, train=True)
+        run_mode(model, exact_path, exact=True, batch=batch, train=True)
+        amp = np.load(amp_path)
+        exact = np.load(exact_path)
+        ga, ge = amp["grad"].astype(np.float64), exact["grad"].astype(
+            np.float64)
+        la, le = float(amp["loss"]), float(exact["loss"])
+    cos = float(np.dot(ga, ge) / (np.linalg.norm(ga) * np.linalg.norm(ge)))
+    return {
+        "model": model,
+        "mode": "train",
+        "loss_amp": round(la, 6),
+        "loss_exact": round(le, 6),
+        "loss_rel_delta": round(abs(la - le) / max(abs(le), 1e-12), 6),
+        "grad_cosine": round(cos, 6),
+        "grad_norm_ratio": round(
+            float(np.linalg.norm(ga) / np.linalg.norm(ge)), 6),
+        "n_grad_elems": int(ga.size),
+    }
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="cls",
                    choices=["cls", "partseg", "semseg", "all"])
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--gate", type=float, default=0.995)
+    p.add_argument("--train", action="store_true",
+                   help="gate the TRAIN path (grad cosine >= gate) instead "
+                        "of eval argmax agreement")
     args = p.parse_args()
 
     models = (["cls", "partseg", "semseg"] if args.model == "all"
               else [args.model])
     ok = True
     for m in models:
-        r = measure(m, args.batch)
-        r["gate"] = args.gate
-        r["pass"] = r["argmax_agreement"] >= args.gate
+        if args.train:
+            r = measure_train(m, args.batch)
+            r["gate"] = args.gate
+            r["pass"] = r["grad_cosine"] >= args.gate
+        else:
+            r = measure(m, args.batch)
+            r["gate"] = args.gate
+            r["pass"] = r["argmax_agreement"] >= args.gate
         ok = ok and r["pass"]
         print(json.dumps(r), flush=True)
     sys.exit(0 if ok else 1)

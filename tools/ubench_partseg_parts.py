@@ -33,6 +33,14 @@ def main() -> None:
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--grad", action="store_true",
                    help="train-mode fwd+bwd per part (see docstring)")
+    p.add_argument("--dropout", type=float, default=None,
+                   help="override the xform-part dropout rate (default "
+                        "0.5 under --grad, 0 otherwise) — isolates the "
+                        "dropout-mask cost in the train decomposition")
+    p.add_argument("--rng_impl", default="threefry2x32",
+                   help="PRNG impl for the xform dropout stream "
+                        "(threefry2x32|rbg) — rbg draws bits with the "
+                        "TPU hardware generator")
     args = p.parse_args()
 
     from dgcnn_tpu.utils import enable_compilation_cache
@@ -108,7 +116,7 @@ def main() -> None:
         )
 
         emb = 512
-        drop = 0.5 if train else 0.0
+        drop = (0.5 if train else 0.0) if args.dropout is None else args.dropout
         xf = TorchTransformer(
             d_model=emb, nhead=2, num_encoder_layers=2,
             num_decoder_layers=2, dim_feedforward=512, dropout=drop,
@@ -126,15 +134,18 @@ def main() -> None:
         # se/te must be ARGUMENTS of the jitted fn: closing over them bakes
         # 2x 256 MB constants into the program, which the axon tunnel's
         # remote-compile endpoint rejects (HTTP 413)
+        def mkkey(s):
+            return jax.random.key(s, impl=args.rng_impl)
+
         def stack(vx_, va_, se_a, te_a):
             both = xf.apply(
                 vx_, jnp.concatenate([se_a, te_a], 0),
                 jnp.concatenate([te_a, se_a], 0), train=train,
-                rngs={"dropout": jax.random.PRNGKey(2)} if train else None)
+                rngs={"dropout": mkkey(2)} if train else None)
             sp, tp = jnp.split(both, 2, axis=0)
             return att.apply(
                 va_, tp, sp, sp, train=train,
-                rngs={"dropout": jax.random.PRNGKey(3)} if train else None)
+                rngs={"dropout": mkkey(3)} if train else None)
 
         if train:
             def loss(ps, se_a, te_a, vx=vx, va=va):

@@ -63,6 +63,7 @@ def main() -> None:
         make_cls_steps,
         make_optimizer,
         make_seg_steps,
+        train_rng,
     )
 
     rng = np.random.RandomState(0)
@@ -116,7 +117,7 @@ def main() -> None:
     def chained(state, pts, iters):
         def body(_, carry):
             st, p = carry
-            st, m = train_step(st, p, *extra, jax.random.PRNGKey(2))
+            st, m = train_step(st, p, *extra, train_rng(2))
             return st, p + m["loss"] * 1e-12
         st, p = jax.lax.fori_loop(0, iters, body, (state, pts))
         # readback must depend on the trained params AND the chained input
@@ -168,7 +169,7 @@ def main() -> None:
 
         def run_epoch(st, e):
             st, mets = epoch_fn(st, arrays,
-                                jax.random.fold_in(jax.random.PRNGKey(7), e),
+                                jax.random.fold_in(train_rng(7), e),
                                 args.batch)
             float(jnp.sum(mets["loss"]))  # completion readback
             return st
