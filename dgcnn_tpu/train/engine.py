@@ -55,13 +55,15 @@ def train_rng(seed: int) -> jax.Array:
     """
     import os
 
-    if os.environ.get("DGCNN_TPU_PALLAS_EXACT"):
+    forced = os.environ.get("DGCNN_TPU_RNG", "")  # rbg | threefry | ""
+    if forced == "threefry" or (
+            not forced and os.environ.get("DGCNN_TPU_PALLAS_EXACT")):
         return jax.random.PRNGKey(seed)
     try:
         on_tpu = jax.default_backend() == "tpu"
     except RuntimeError:
         on_tpu = False
-    if not on_tpu:
+    if forced != "rbg" and not on_tpu:
         return jax.random.PRNGKey(seed)
     return jax.random.key(seed, impl="rbg")
 
