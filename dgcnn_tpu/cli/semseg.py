@@ -385,6 +385,12 @@ def build_parser() -> argparse.ArgumentParser:
                         help="with --export_model: make the artifact's "
                              "batch axis a symbolic dimension so one "
                              "artifact serves any batch size")
+    parser.add_argument("--fast_extract", type=int, default=0, metavar="BAND",
+                        help="TPU-native extension (eval): approximate kNN "
+                             "candidate pruning to a PC1-sorted band of this "
+                             "width (multiple of 128; 0 = exact).  Gated by "
+                             "tools/parity_drift.py >= 99.5%% argmax "
+                             "agreement (ops/pallas_banded.py)")
     parser.add_argument("--device_pipeline", type=str2bool, default=False,
                         help="TPU-native extension: keep the train blocks "
                              "resident in HBM and run each train epoch as "
@@ -415,6 +421,11 @@ def main(argv=None):
     # process does not pin other models' kernels.
     had = "DGCNN_TPU_EXTRACT" in os.environ
     os.environ.setdefault("DGCNN_TPU_EXTRACT", "v2")
+    had_fast = "DGCNN_TPU_FAST_EXTRACT" in os.environ
+    if args.fast_extract:
+        # opt-in approximate eval path (ops/pallas_banded.py); same
+        # trace-time-env scoping as the v2 pin above
+        os.environ["DGCNN_TPU_FAST_EXTRACT"] = str(args.fast_extract)
     try:
         if not args.eval:
             train(args, io)
@@ -423,6 +434,8 @@ def main(argv=None):
     finally:
         if not had:
             os.environ.pop("DGCNN_TPU_EXTRACT", None)
+        if args.fast_extract and not had_fast:
+            os.environ.pop("DGCNN_TPU_FAST_EXTRACT", None)
 
 
 if __name__ == "__main__":

@@ -49,6 +49,19 @@ def _edge_block2(ec, cb, x, graph, k, train, slope=0.2, eps=1e-5):
         s2, t2 = fold_bn(g2, be2, m2, v2, eps)
         a1 = _project(x, w_nbr)
         b1 = _project(x, w_ctr)
+        from dgcnn_tpu.ops.pallas_banded import (
+            banded_applicable,
+            banded_knn_edge2,
+            fast_extract_band,
+        )
+
+        band = fast_extract_band()
+        if banded_applicable(graph.shape[1], band):
+            # gated approximate fast path (--fast_extract): candidates
+            # pruned to a PC1-sorted band; accept only while the semseg
+            # drift gate (tools/parity_drift.py) stays >= 99.5%
+            return banded_knn_edge2(graph, a1, b1, s1, t1, k2, s2, t2, k,
+                                    band, slope)
         return fused_knn_edge2(graph, a1, b1, s1, t1, k2, s2, t2, k, slope)
     if train and use_pallas(graph.shape[1]):
         from dgcnn_tpu.ops.edge_conv import _project

@@ -259,6 +259,19 @@ class EdgeConv(nn.Module):
                               else jnp.bfloat16)
                     s, t = edge_conv.fold_bn(
                         scale, bias, ra_mean.value, ra_var.value, self.eps)
+                    from dgcnn_tpu.ops.pallas_banded import (
+                        banded_applicable,
+                        banded_edge_conv_eval,
+                        fast_extract_band,
+                    )
+
+                    band = fast_extract_band()
+                    if banded_applicable(graph.shape[1], band):
+                        # gated approximate fast path (--fast_extract);
+                        # see ops/pallas_banded.py
+                        return banded_edge_conv_eval(
+                            graph, x, w_nbr, w_ctr, s, t, k, band,
+                            self.negative_slope, select_dtype=sel_dt)
                     # whole stage in one kernel: projections, selection,
                     # reduction, BN affine + LeakyReLU epilogue
                     return fused_edge_conv_eval(

@@ -43,6 +43,10 @@ def run_mode(model: str, out: str, exact: bool, batch: int,
     if exact:
         env["DGCNN_TPU_PALLAS_EXACT"] = "1"
         env.pop("DGCNN_TPU_EXTRACT", None)
+        # the exact side never prunes candidates — an inherited
+        # DGCNN_TPU_FAST_EXTRACT (gating the banded fast path) applies to
+        # the AMP side only
+        env.pop("DGCNN_TPU_FAST_EXTRACT", None)
     else:
         env.pop("DGCNN_TPU_PALLAS_EXACT", None)
         if model == "semseg":
