@@ -38,14 +38,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-REF_GPU_CLOUDS_PER_SEC = {"cls": 500.0, "partseg": 30.0, "semseg": 120.0}
+REF_GPU_CLOUDS_PER_SEC = {"cls": 500.0, "cls2048": 125.0, "partseg": 30.0,
+                          "semseg": 120.0}
 V5E_PEAK_BF16 = 197e12
 
+# cls2048 = BASELINE.json config 2 (2048 pts, k=40: 4x the N^2 distance
+# matrix, 2x the top-k winners; reference README.md:87-88).  Its GPU
+# denominator estimate scales the cls one by the 4x N^2 work.
 MODEL = os.environ.get("BENCH_MODEL", "cls")  # cls | partseg | semseg | all
 BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 ITERS = int(os.environ.get("BENCH_ITERS", "30"))
-POINTS = {"cls": 1024, "partseg": 2048, "semseg": 4096}
-KS = {"cls": 20, "partseg": 32, "semseg": 20}
+POINTS = {"cls": 1024, "cls2048": 2048, "partseg": 2048, "semseg": 4096}
+KS = {"cls": 20, "cls2048": 40, "partseg": 32, "semseg": 20}
 
 
 def _edge_conv_flops(n: int, k: int, c_graph: int, cins: list[int],
@@ -82,6 +86,8 @@ def _algorithmic_flops(n: int, k: int, cins: list[int],
 
 def model_flops_per_cloud(model: str, n: int, k: int) -> tuple[float, float]:
     """(mxu_flops, algorithmic_flops) per cloud for the bench model configs."""
+    if model == "cls2048":
+        model = "cls"  # same architecture, (n, k) carry the config
     if model == "cls":
         mxu = _edge_conv_flops(n, k, 3, [3, 64, 64, 128], [64, 64, 128, 256])
         mxu += 2.0 * n * 512 * 1024            # conv5
@@ -141,7 +147,7 @@ def run_config(model_key: str) -> dict:
     k = int(os.environ.get("BENCH_K", KS[model_key]))
 
     rng = np.random.RandomState(0)
-    if model_key == "cls":
+    if model_key in ("cls", "cls2048"):
         from dgcnn_tpu.models import DGCNNCls
 
         model = DGCNNCls(emb_dims=1024, k=k, output_channels=40)
@@ -230,13 +236,24 @@ def main() -> None:
 
     enable_compilation_cache()
 
-    configs = (["cls", "partseg", "semseg"]
+    configs = (["cls", "cls2048", "partseg", "semseg"]
                if (MODEL == "all" or "--all" in sys.argv) else [MODEL])
     had_extract = os.environ.get("DGCNN_TPU_EXTRACT")
-    for key in configs:
+    for i, key in enumerate(configs):
         try:
             result = run_config(key)
-            if "--parity" in sys.argv:
+            if i == 0 and os.environ.get("BENCH_GATES", "1") != "0":
+                # correctness gates ride the driver-visible artifact: eval +
+                # train drift agreement and the fused-attention on-chip
+                # oracle, cached on a source hash (tools/gates.py) so a
+                # re-bench on unchanged code stays fast
+                sys.path.insert(0, os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)), "tools"))
+                import gates
+
+                result.update(gates.gate_summary())
+            if "--parity" in sys.argv and key in ("cls", "partseg",
+                                                  "semseg"):
                 # exact-vs-AMP drift gate (tools/parity_drift.py): proves
                 # the AMP headline path preserves predictions
                 sys.path.insert(0, os.path.join(

@@ -1,0 +1,84 @@
+"""On-chip oracle tier (``pytest -m tpu``; VERDICT r3 #7).
+
+The CPU suite cannot cover: the fused dropout-attention mask path
+(pltpu.prng_* interprets to zeros off-TPU), the measured exact-vs-AMP drift
+gates at bench scale, and the learnability runs that substitute for the
+environment-blocked real-data accuracy gates.  Each test shells out to its
+tool so the child picks up the REAL backend while this process keeps the
+conftest-pinned CPU backend (the axon plugin must not be initialized twice
+in-process).
+
+Excluded from the default run by pyproject's ``addopts = -m "not tpu"``.
+Budget on a warm compile cache: oracles ~2 min, learn runs ~3/10/4 min.
+"""
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _child_env():
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # conftest pins cpu; children use the chip
+    return env
+
+
+def _run(args, timeout=2400):
+    return subprocess.run([sys.executable] + args, env=_child_env(),
+                          cwd=ROOT, capture_output=True, text=True,
+                          timeout=timeout)
+
+
+@pytest.fixture(scope="session")
+def tpu_present():
+    probe = _run(["-c", "import jax; print(jax.default_backend())"],
+                 timeout=300)
+    if "tpu" not in probe.stdout:
+        pytest.skip("no TPU chip reachable from this host")
+
+
+def _last_json(proc):
+    lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
+    assert lines, f"no output; stderr tail: {proc.stderr[-1000:]}"
+    return json.loads(lines[-1])
+
+
+def test_attention_oracle(tpu_present):
+    proc = _run([os.path.join(ROOT, "tools", "attention_check.py")])
+    out = _last_json(proc)
+    assert proc.returncode == 0, out
+    assert out["ok"] and out["deterministic"] and out["keep_rate_ok"]
+
+
+def test_eval_drift_gate(tpu_present):
+    proc = _run([os.path.join(ROOT, "tools", "parity_drift.py"),
+                 "--model", "all", "--batch", "32"])
+    rows = [json.loads(ln) for ln in proc.stdout.strip().splitlines()]
+    assert proc.returncode == 0, rows
+    assert {r["model"] for r in rows} == {"cls", "partseg", "semseg"}
+    assert all(r["argmax_agreement"] >= 0.995 for r in rows)
+
+
+def test_train_drift_gate(tpu_present):
+    proc = _run([os.path.join(ROOT, "tools", "parity_drift.py"),
+                 "--model", "partseg", "--train", "--batch", "8"])
+    out = _last_json(proc)
+    assert proc.returncode == 0, out
+    assert out["grad_cosine"] >= 0.995
+
+
+@pytest.mark.parametrize("family", ["cls", "partseg", "semseg"])
+def test_learnability(tpu_present, family):
+    """Full-size training on structured synthetic data generalizes to a
+    held-out test set (proxy for reference README.md:86/146/285)."""
+    proc = _run([os.path.join(ROOT, "tools", "learn_check.py"),
+                 "--family", family])
+    out = _last_json(proc)
+    assert proc.returncode == 0, out
+    assert out["ok"] and out["best_test_acc"] >= 0.9

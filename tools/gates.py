@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Correctness-gate summary for the driver-visible bench artifact.
+
+`python bench.py` embeds these fields in its headline JSON line so the gate
+results live in BENCH_r*.json instead of builder notes (VERDICT r3 weak
+#2-#3):
+
+  * eval drift gate   — exact-vs-AMP argmax agreement per model family
+                        (tools/parity_drift.py; gates the bf16x3 scores +
+                        packed extraction + bf16 selection AMP path against
+                        the torch-parity exact path, same weights+batch);
+  * train drift gate  — one fwd+grad per mode on the fusion Net: loss delta
+                        + full-gradient cosine (the reference itself trains
+                        under fp16 autocast, main_partseg_dist.py:221);
+  * attention oracle  — tools/attention_check.py on-chip checks of the
+                        fused dropout-attention kernel (keep-rate,
+                        determinism, dense-given-mask fwd/bwd parity) whose
+                        PRNG mask path CANNOT run under the CPU suite.
+
+Results are cached in <repo>/.gates_cache.json keyed by a hash of the
+compute-path sources + the backend platform, so a re-bench on unchanged
+code is instant while any kernel/model/engine edit forces a fresh run.
+
+CLI: python tools/gates.py [--refresh]   # prints the summary JSON
+"""
+from __future__ import annotations
+
+import glob
+import hashlib
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CACHE = os.path.join(ROOT, ".gates_cache.json")
+
+EVAL_GATE = 0.995     # argmax agreement (matches parity_drift default)
+TRAIN_GATE = 0.995    # full-gradient cosine
+EVAL_BATCH = 64       # bench-scale eval drift batch
+TRAIN_BATCH = 8       # one fwd+grad per mode; small batch keeps it quick
+
+
+def _source_hash() -> str:
+    """Hash of every file whose change could move a gate result."""
+    paths = sorted(
+        glob.glob(os.path.join(ROOT, "dgcnn_tpu", "**", "*.py"),
+                  recursive=True)
+        + [os.path.join(ROOT, "tools", f) for f in
+           ("parity_drift.py", "_drift_child.py", "attention_check.py",
+            "gates.py")]
+    )
+    h = hashlib.sha256()
+    for p in paths:
+        h.update(p.encode())
+        with open(p, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:16]
+
+
+def _platform() -> str:
+    import jax
+
+    try:
+        return jax.devices()[0].platform
+    except Exception:
+        return "unknown"
+
+
+def _run_gates() -> dict:
+    sys.path.insert(0, os.path.join(ROOT, "tools"))
+    import parity_drift
+
+    out: dict = {}
+    ok = True
+    for m in ("cls", "partseg", "semseg"):
+        d = parity_drift.measure(m, EVAL_BATCH)
+        out[f"parity_{m}"] = d["argmax_agreement"]
+        ok = ok and d["argmax_agreement"] >= EVAL_GATE
+    t = parity_drift.measure_train("partseg", TRAIN_BATCH)
+    out["parity_train_grad_cosine"] = t["grad_cosine"]
+    out["parity_train_loss_rel_delta"] = t["loss_rel_delta"]
+    ok = ok and t["grad_cosine"] >= TRAIN_GATE
+
+    proc = subprocess.run(
+        [sys.executable, os.path.join(ROOT, "tools", "attention_check.py")],
+        capture_output=True, text=True, cwd=ROOT)
+    attn_ok = False
+    try:
+        attn = json.loads(proc.stdout.strip().splitlines()[-1])
+        attn_ok = bool(attn.get("ok"))
+        out["attn_keep_rate"] = attn.get("keep_rate")
+    except (json.JSONDecodeError, IndexError):
+        out["attn_error"] = (proc.stdout + proc.stderr)[-500:]
+    out["attn_oracle_ok"] = attn_ok
+    out["parity_ok"] = ok and attn_ok
+    return out
+
+
+def gate_summary(force: bool = False) -> dict:
+    """Gate fields for the bench line; cached on (source hash, platform)."""
+    plat = _platform()
+    if plat != "tpu":
+        # the attention oracle and the measured drift numbers are only
+        # meaningful on the real chip; don't fake them on CPU
+        return {"gates_skipped": plat}
+    key = _source_hash()
+    if not force and os.path.exists(CACHE):
+        try:
+            with open(CACHE) as f:
+                cached = json.load(f)
+            if cached.get("source_hash") == key and (
+                    cached.get("platform") == plat):
+                res = dict(cached["results"])
+                res["gates_cached"] = True
+                return res
+        except (json.JSONDecodeError, KeyError):
+            pass
+    results = _run_gates()
+    with open(CACHE, "w") as f:
+        json.dump({"source_hash": key, "platform": plat,
+                   "results": results}, f)
+    res = dict(results)
+    res["gates_cached"] = False
+    return res
+
+
+if __name__ == "__main__":
+    print(json.dumps(gate_summary(force="--refresh" in sys.argv)),
+          flush=True)
