@@ -93,7 +93,11 @@ def calculate_sem_IoU(
         empty = u_all == 0
         i_all[empty] = 1
         u_all[empty] = 1
-    return i_all / u_all
+    # Non-visual mode keeps the reference's exact semantics (0/0 -> nan for
+    # classes absent from both pred and gt, main_semseg.py:61); only the
+    # RuntimeWarning is suppressed.
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return i_all / u_all
 
 
 def shape_iou_device(
