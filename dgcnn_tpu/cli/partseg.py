@@ -460,6 +460,14 @@ def build_parser(dist: bool = False) -> argparse.ArgumentParser:
                         help="with --export_model: make the artifact's "
                              "batch axis a symbolic dimension so one "
                              "artifact serves any batch size")
+    parser.add_argument("--fast_extract", type=int, default=0, metavar="BAND",
+                        help="TPU-native extension (eval forwards): "
+                             "approximate kNN candidate pruning to a "
+                             "PC1-sorted band of this width (multiple of "
+                             "128; 0 = exact).  Measured on chip at "
+                             "N=2048/k=32: band=512 is +13%% with argmax "
+                             "agreement 1.0 vs exact (tools/parity_drift.py "
+                             "gate; ops/pallas_banded.py)")
     parser.add_argument("--device_pipeline", type=str2bool, default=False,
                         help="TPU-native extension: keep the train set "
                              "resident in HBM and run each train epoch as "
@@ -477,10 +485,24 @@ def main(argv=None):
     io = IOStream("outputs/" + args.exp_name + "/run.log")
     io.cprint(str(args))
     np.random.seed(args.seed)
-    if args.eval:
-        test(args, io)
-    else:
-        train(args, io)
+    # opt-in approximate eval path (ops/pallas_banded.py); trace-time env,
+    # scoped to this entry point like cli/semseg.py's wiring so looping
+    # over CLIs in one process does not pin other models' kernels (the
+    # explicit flag wins for this call; a pre-existing env is restored)
+    old_fast = os.environ.get("DGCNN_TPU_FAST_EXTRACT")
+    if args.fast_extract:
+        os.environ["DGCNN_TPU_FAST_EXTRACT"] = str(args.fast_extract)
+    try:
+        if args.eval:
+            test(args, io)
+        else:
+            train(args, io)
+    finally:
+        if args.fast_extract:
+            if old_fast is None:
+                os.environ.pop("DGCNN_TPU_FAST_EXTRACT", None)
+            else:
+                os.environ["DGCNN_TPU_FAST_EXTRACT"] = old_fast
 
 
 if __name__ == "__main__":

@@ -16,6 +16,8 @@ this same script (dgcnn_tpu.parallel.distributed_init).
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from dgcnn_tpu.cli import partseg
@@ -41,10 +43,21 @@ def main(argv=None):
     io = IOStream("outputs/" + args.exp_name + "/run.log")
     io.cprint(str(args))
     np.random.seed(args.seed)
-    if args.eval:
-        partseg.test(args, io)
-    else:
-        partseg.train(args, io)
+    # same opt-in banded eval wiring as cli/partseg.py's main
+    old_fast = os.environ.get("DGCNN_TPU_FAST_EXTRACT")
+    if args.fast_extract:
+        os.environ["DGCNN_TPU_FAST_EXTRACT"] = str(args.fast_extract)
+    try:
+        if args.eval:
+            partseg.test(args, io)
+        else:
+            partseg.train(args, io)
+    finally:
+        if args.fast_extract:
+            if old_fast is None:
+                os.environ.pop("DGCNN_TPU_FAST_EXTRACT", None)
+            else:
+                os.environ["DGCNN_TPU_FAST_EXTRACT"] = old_fast
 
 
 if __name__ == "__main__":

@@ -421,10 +421,11 @@ def main(argv=None):
     # process does not pin other models' kernels.
     had = "DGCNN_TPU_EXTRACT" in os.environ
     os.environ.setdefault("DGCNN_TPU_EXTRACT", "v2")
-    had_fast = "DGCNN_TPU_FAST_EXTRACT" in os.environ
+    old_fast = os.environ.get("DGCNN_TPU_FAST_EXTRACT")
     if args.fast_extract:
         # opt-in approximate eval path (ops/pallas_banded.py); same
-        # trace-time-env scoping as the v2 pin above
+        # trace-time-env scoping as the v2 pin above (the explicit flag
+        # wins for this call; any pre-existing env is restored on return)
         os.environ["DGCNN_TPU_FAST_EXTRACT"] = str(args.fast_extract)
     try:
         if not args.eval:
@@ -434,8 +435,11 @@ def main(argv=None):
     finally:
         if not had:
             os.environ.pop("DGCNN_TPU_EXTRACT", None)
-        if args.fast_extract and not had_fast:
-            os.environ.pop("DGCNN_TPU_FAST_EXTRACT", None)
+        if args.fast_extract:
+            if old_fast is None:
+                os.environ.pop("DGCNN_TPU_FAST_EXTRACT", None)
+            else:
+                os.environ["DGCNN_TPU_FAST_EXTRACT"] = old_fast
 
 
 if __name__ == "__main__":

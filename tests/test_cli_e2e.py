@@ -377,3 +377,34 @@ def test_eval_loss_invariant_to_padding():
     np.testing.assert_allclose(float(padded["loss"]), float(only2["loss"]),
                                rtol=1e-6)
     assert abs(float(full["loss"]) - float(padded["loss"])) > 0  # sanity
+
+
+@pytest.mark.parametrize("cli_name", ["partseg", "partseg_dist", "semseg"])
+def test_fast_extract_env_scoping(data_env, monkeypatch, cli_name):
+    """--fast_extract pins DGCNN_TPU_FAST_EXTRACT for the entry point's
+    duration ONLY (trace-time env: the banded dispatch in models/ reads it
+    when the forward traces), and restores it on return so looping over
+    CLIs in one process cannot leak the approximate path into other
+    models."""
+    import importlib
+
+    mod = importlib.import_module(f"dgcnn_tpu.cli.{cli_name}")
+    target = mod if cli_name != "partseg_dist" else importlib.import_module(
+        "dgcnn_tpu.cli.partseg")
+    seen = {}
+
+    def fake_test(args, io):
+        seen["band"] = os.environ.get("DGCNN_TPU_FAST_EXTRACT")
+
+    monkeypatch.setattr(target, "test", fake_test)
+    monkeypatch.delenv("DGCNN_TPU_FAST_EXTRACT", raising=False)
+    mod.main([f"--exp_name=smoke_fast_{cli_name}", "--eval=True",
+              "--fast_extract=512"])
+    assert seen["band"] == "512"
+    assert "DGCNN_TPU_FAST_EXTRACT" not in os.environ
+    # an explicit user env survives the entry point (user wins)
+    monkeypatch.setenv("DGCNN_TPU_FAST_EXTRACT", "1024")
+    mod.main([f"--exp_name=smoke_fast_{cli_name}", "--eval=True",
+              "--fast_extract=512"])
+    assert seen["band"] == "512"
+    assert os.environ["DGCNN_TPU_FAST_EXTRACT"] == "1024"
