@@ -23,14 +23,16 @@ pytestmark = pytest.mark.tpu
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _child_env():
+def _child_env(extra=None):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # conftest pins cpu; children use the chip
+    if extra:
+        env.update(extra)
     return env
 
 
-def _run(args, timeout=2400):
-    return subprocess.run([sys.executable] + args, env=_child_env(),
+def _run(args, timeout=2400, env_extra=None):
+    return subprocess.run([sys.executable] + args, env=_child_env(env_extra),
                           cwd=ROOT, capture_output=True, text=True,
                           timeout=timeout)
 
@@ -63,6 +65,19 @@ def test_eval_drift_gate(tpu_present):
     assert proc.returncode == 0, rows
     assert {r["model"] for r in rows} == {"cls", "partseg", "semseg"}
     assert all(r["argmax_agreement"] >= 0.995 for r in rows)
+
+
+@pytest.mark.parametrize("family,band", [("partseg", 512), ("semseg", 1024)])
+def test_banded_drift_gate(tpu_present, family, band):
+    """The opt-in --fast_extract banded path (ops/pallas_banded.py) holds the
+    drift gate at its documented sweet-spot bands (PERF.md): banded-AMP vs
+    exact — parity_drift's exact side strips DGCNN_TPU_FAST_EXTRACT."""
+    proc = _run([os.path.join(ROOT, "tools", "parity_drift.py"),
+                 "--model", family, "--batch", "32"],
+                env_extra={"DGCNN_TPU_FAST_EXTRACT": str(band)})
+    out = _last_json(proc)
+    assert proc.returncode == 0, out
+    assert out["argmax_agreement"] >= 0.995
 
 
 def test_train_drift_gate(tpu_present):

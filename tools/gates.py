@@ -9,6 +9,9 @@ results live in BENCH_r*.json instead of builder notes (VERDICT r3 weak
                         (tools/parity_drift.py; gates the bf16x3 scores +
                         packed extraction + bf16 selection AMP path against
                         the torch-parity exact path, same weights+batch);
+  * banded drift gate — the opt-in --fast_extract approximate path at its
+                        documented sweet-spot bands (partseg 512, semseg
+                        1024) vs the exact path, same gate;
   * train drift gate  — one fwd+grad per mode on the fusion Net: loss delta
                         + full-gradient cosine (the reference itself trains
                         under fp16 autocast, main_partseg_dist.py:221);
@@ -77,6 +80,23 @@ def _run_gates() -> dict:
         d = parity_drift.measure(m, EVAL_BATCH)
         out[f"parity_{m}"] = d["argmax_agreement"]
         ok = ok and d["argmax_agreement"] >= EVAL_GATE
+    # banded opt-in drift: the gated approximate path (--fast_extract,
+    # ops/pallas_banded.py) rides the artifact too, at the documented
+    # sweet-spot bands (PERF.md: partseg 512, semseg 1024).  run_mode's
+    # exact side strips the env, so this gates banded-AMP vs exact.
+    for m, band in (("partseg", 512), ("semseg", 1024)):
+        old = os.environ.get("DGCNN_TPU_FAST_EXTRACT")
+        os.environ["DGCNN_TPU_FAST_EXTRACT"] = str(band)
+        try:
+            d = parity_drift.measure(m, EVAL_BATCH)
+        finally:
+            if old is None:
+                os.environ.pop("DGCNN_TPU_FAST_EXTRACT", None)
+            else:
+                os.environ["DGCNN_TPU_FAST_EXTRACT"] = old
+        out[f"parity_banded_{m}_b{band}"] = d["argmax_agreement"]
+        ok = ok and d["argmax_agreement"] >= EVAL_GATE
+
     t = parity_drift.measure_train("partseg", TRAIN_BATCH)
     out["parity_train_grad_cosine"] = t["grad_cosine"]
     out["parity_train_loss_rel_delta"] = t["loss_rel_delta"]
