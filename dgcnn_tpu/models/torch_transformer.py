@@ -44,7 +44,17 @@ def _use_flash(train: bool, dropout: float, qshape, kshape) -> bool:
     library kernel: TPU backend, block-aligned lengths and head dim, not
     disabled (DGCNN_TPU_FLASH=0).  Only reached when the fused kernel's
     shape guard rejects (it is faster where supported: 8.2 vs 8.7 ms at
-    B128 h2 N2048 d256, tools/ubench_attention.py)."""
+    B128 h2 N2048 d256, tools/ubench_attention.py).
+
+    Off under DGCNN_TPU_PALLAS_EXACT=1: exact mode must take the dense XLA
+    fallback (reference nn.MultiheadAttention semantics op for op,
+    reference models/model_partseg.py:190-191).  This check was missing in
+    r4 and routed exact-mode TRAINING through the flash kernel, whose f32
+    backward OOMs scoped VMEM at 1024 blocks (BENCH_r04 rc=1)."""
+    import os
+
+    if os.environ.get("DGCNN_TPU_PALLAS_EXACT"):
+        return False
     return not (train and dropout > 0.0) and _pallas_ok(qshape, kshape)
 
 
@@ -146,14 +156,20 @@ class TorchMultiheadAttention(nn.Module):
             # Block sizes matter: the library default (128) is 2x SLOWER
             # than XLA's dense attention at this shape; 1024 blocks are
             # 2.1x FASTER (B64 h2 N2048 d256: XLA 10.6 ms, flash-128
-            # 21.4 ms, flash-1024 4.95 ms).
+            # 21.4 ms, flash-1024 4.95 ms).  f32 inputs double every VMEM
+            # slab, so cap blocks at 512 there (1024 OOMs the scoped-VMEM
+            # limit in flash_mha_bwd_dq: 22.3M > 18M) — the tuned 1024 is
+            # for the bf16 AMP path.
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 BlockSizes,
                 flash_attention,
             )
 
+            cap = 1024 if q.dtype == jnp.bfloat16 else 512
+
             def blk(n):
-                return max(b for b in (1024, 512, 256, 128) if n % b == 0)
+                return max(b for b in (1024, 512, 256, 128)
+                           if n % b == 0 and b <= cap)
 
             bq, bk = blk(q.shape[2]), blk(k.shape[2])
             bs = BlockSizes(

@@ -80,9 +80,29 @@ def test_banded_drift_gate(tpu_present, family, band):
     assert out["argmax_agreement"] >= 0.995
 
 
-def test_train_drift_gate(tpu_present):
+@pytest.mark.parametrize("family", ["cls", "partseg", "semseg"])
+def test_train_drift_gate(tpu_present, family):
+    """Exact-vs-AMP TRAIN fwd+bwd on chip for every family (r4 gated
+    partseg only).  The exact side runs f32 HIGHEST kernels and — for the
+    fusion Net — the dense XLA attention branch (DGCNN_TPU_PALLAS_EXACT
+    disables fused AND flash, models/torch_transformer.py), the dispatch
+    hole that crashed BENCH_r04."""
     proc = _run([os.path.join(ROOT, "tools", "parity_drift.py"),
-                 "--model", "partseg", "--train", "--batch", "8"])
+                 "--model", family, "--train", "--batch", "8"])
+    out = _last_json(proc)
+    assert proc.returncode == 0, out
+    assert out["grad_cosine"] >= 0.995
+
+
+def test_flash_branch_train(tpu_present):
+    """The library flash-attention branch (fused kernel disabled) passes the
+    TRAIN drift gate at chip shapes: AMP side runs flash fwd+bwd in bf16
+    (dropout=0 so flash is eligible), exact side the dense fallback.
+    Covers the remaining TorchMultiheadAttention dispatch branch the other
+    gates don't reach."""
+    proc = _run([os.path.join(ROOT, "tools", "parity_drift.py"),
+                 "--model", "partseg", "--train", "--batch", "8"],
+                env_extra={"DGCNN_TPU_FUSED_ATTN": "0"})
     out = _last_json(proc)
     assert proc.returncode == 0, out
     assert out["grad_cosine"] >= 0.995

@@ -12,9 +12,10 @@ results live in BENCH_r*.json instead of builder notes (VERDICT r3 weak
   * banded drift gate — the opt-in --fast_extract approximate path at its
                         documented sweet-spot bands (partseg 512, semseg
                         1024) vs the exact path, same gate;
-  * train drift gate  — one fwd+grad per mode on the fusion Net: loss delta
-                        + full-gradient cosine (the reference itself trains
-                        under fp16 autocast, main_partseg_dist.py:221);
+  * train drift gate  — one fwd+grad per mode per family (cls / partseg /
+                        semseg): loss delta + full-gradient cosine (the
+                        reference itself trains under fp16 autocast,
+                        main_partseg_dist.py:221);
   * attention oracle  — tools/attention_check.py on-chip checks of the
                         fused dropout-attention kernel (keep-rate,
                         determinism, dense-given-mask fwd/bwd parity) whose
@@ -24,10 +25,17 @@ Results are cached in <repo>/.gates_cache.json keyed by a hash of the
 compute-path sources + the backend platform, so a re-bench on unchanged
 code is instant while any kernel/model/engine edit forces a fresh run.
 
+Failure containment: every gate runs under try/except — a crashing child
+yields ``parity_ok: false`` plus a ``<gate>_error`` tail in the summary;
+it can no longer kill the bench artifact (r4's BENCH had rc=1 from one
+OOMing drift child).  Crashed summaries are NOT cached, so a fixed chip
+state re-measures.
+
 CLI: python tools/gates.py [--refresh]   # prints the summary JSON
 """
 from __future__ import annotations
 
+import contextlib
 import glob
 import hashlib
 import json
@@ -70,37 +78,74 @@ def _platform() -> str:
         return "unknown"
 
 
+@contextlib.contextmanager
+def _env(name: str, value):
+    """Pin (value) or strip (None) an env var for the block, restoring the
+    pre-existing value afterwards — gate children inherit os.environ."""
+    old = os.environ.get(name)
+    if value is None:
+        os.environ.pop(name, None)
+    else:
+        os.environ[name] = str(value)
+    try:
+        yield
+    finally:
+        if old is None:
+            os.environ.pop(name, None)
+        else:
+            os.environ[name] = old
+
+
 def _run_gates() -> dict:
     sys.path.insert(0, os.path.join(ROOT, "tools"))
     import parity_drift
 
     out: dict = {}
     ok = True
-    for m in ("cls", "partseg", "semseg"):
-        d = parity_drift.measure(m, EVAL_BATCH)
-        out[f"parity_{m}"] = d["argmax_agreement"]
-        ok = ok and d["argmax_agreement"] >= EVAL_GATE
+
+    def run(label, fn):
+        """One gate; a child crash records ``<label>_error`` and fails the
+        summary instead of killing bench.py (r4's BENCH artifact died rc=1
+        because one drift child crashed and gates.py propagated it)."""
+        nonlocal ok
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — any child failure
+            out[f"{label}_error"] = repr(e)[-300:]
+            ok = False
+            return None
+
+    # the plain gates measure the EXACT extraction path on the AMP side —
+    # an inherited DGCNN_TPU_FAST_EXTRACT must not leak in (it would record
+    # banded agreement under the exact-gate name AND poison the cache,
+    # which is keyed on sources+platform only)
+    with _env("DGCNN_TPU_FAST_EXTRACT", None):
+        for m in ("cls", "partseg", "semseg"):
+            d = run(f"parity_{m}", lambda m=m: parity_drift.measure(
+                m, EVAL_BATCH))
+            if d is not None:
+                out[f"parity_{m}"] = d["argmax_agreement"]
+                ok = ok and d["argmax_agreement"] >= EVAL_GATE
+        # TRAIN drift, all three families (r4 gated partseg only): one
+        # fwd+grad per mode, full-gradient cosine
+        for m in ("cls", "partseg", "semseg"):
+            t = run(f"parity_train_{m}", lambda m=m: parity_drift.
+                    measure_train(m, TRAIN_BATCH))
+            if t is not None:
+                out[f"parity_train_{m}_grad_cosine"] = t["grad_cosine"]
+                out[f"parity_train_{m}_loss_rel_delta"] = t["loss_rel_delta"]
+                ok = ok and t["grad_cosine"] >= TRAIN_GATE
     # banded opt-in drift: the gated approximate path (--fast_extract,
     # ops/pallas_banded.py) rides the artifact too, at the documented
     # sweet-spot bands (PERF.md: partseg 512, semseg 1024).  run_mode's
     # exact side strips the env, so this gates banded-AMP vs exact.
     for m, band in (("partseg", 512), ("semseg", 1024)):
-        old = os.environ.get("DGCNN_TPU_FAST_EXTRACT")
-        os.environ["DGCNN_TPU_FAST_EXTRACT"] = str(band)
-        try:
-            d = parity_drift.measure(m, EVAL_BATCH)
-        finally:
-            if old is None:
-                os.environ.pop("DGCNN_TPU_FAST_EXTRACT", None)
-            else:
-                os.environ["DGCNN_TPU_FAST_EXTRACT"] = old
-        out[f"parity_banded_{m}_b{band}"] = d["argmax_agreement"]
-        ok = ok and d["argmax_agreement"] >= EVAL_GATE
-
-    t = parity_drift.measure_train("partseg", TRAIN_BATCH)
-    out["parity_train_grad_cosine"] = t["grad_cosine"]
-    out["parity_train_loss_rel_delta"] = t["loss_rel_delta"]
-    ok = ok and t["grad_cosine"] >= TRAIN_GATE
+        with _env("DGCNN_TPU_FAST_EXTRACT", band):
+            d = run(f"parity_banded_{m}_b{band}",
+                    lambda m=m: parity_drift.measure(m, EVAL_BATCH))
+        if d is not None:
+            out[f"parity_banded_{m}_b{band}"] = d["argmax_agreement"]
+            ok = ok and d["argmax_agreement"] >= EVAL_GATE
 
     proc = subprocess.run(
         [sys.executable, os.path.join(ROOT, "tools", "attention_check.py")],
@@ -137,9 +182,12 @@ def gate_summary(force: bool = False) -> dict:
         except (json.JSONDecodeError, KeyError):
             pass
     results = _run_gates()
-    with open(CACHE, "w") as f:
-        json.dump({"source_hash": key, "platform": plat,
-                   "results": results}, f)
+    if not any(k.endswith("_error") for k in results):
+        # don't cache a crashed summary — a transient chip failure would
+        # otherwise pin parity_ok=false until the next source edit
+        with open(CACHE, "w") as f:
+            json.dump({"source_hash": key, "platform": plat,
+                       "results": results}, f)
     res = dict(results)
     res["gates_cached"] = False
     return res
