@@ -37,6 +37,13 @@ def add_runtime_flags(parser: argparse.ArgumentParser) -> None:
              "few-core hosts).  Unset: the DGCNN_TPU_WORKERS env (0 if "
              "absent); an explicit value overrides and resets the env")
     parser.add_argument(
+        "--tensorboard", type=str2bool, default=False,
+        help="write per-epoch TensorBoard scalar event files under "
+             "outputs/<exp>/tb/ (train/test loss, acc, iou) — the "
+             "reference prototyped this with ignite's TensorboardLogger "
+             "(test.ipynb cells 56-61); here the from-scratch event "
+             "writer (utils/tbevents.py) needs no tensorboard package")
+    parser.add_argument(
         "--orbax", type=str2bool, default=False,
         help="use orbax for the partseg trainer's checkpoints — both the "
              "periodic resume checkpoint and the best-model save (cls/"
@@ -60,6 +67,17 @@ def apply_runtime_flags(args) -> None:
             args.profile = os.path.join("outputs", args.exp_name, "profile")
 
 
+def make_tb_logger(args):
+    """``--tensorboard``: a TensorboardLogger writing to outputs/<exp>/tb
+    (train/events.py on top of the from-scratch event writer,
+    utils/tbevents.py), or None when the flag is off."""
+    if not getattr(args, "tensorboard", False):
+        return None
+    from dgcnn_tpu.train.events import TensorboardLogger
+
+    return TensorboardLogger(os.path.join("outputs", args.exp_name, "tb"))
+
+
 def profile_epoch(args, epoch: int):
     """Context manager tracing epoch 0 when --profile is set."""
     import contextlib
@@ -69,6 +87,60 @@ def profile_epoch(args, epoch: int):
 
         return trace(args.profile)
     return contextlib.nullcontext()
+
+
+def band_arg(v: str) -> int:
+    """argparse type for ``--fast_extract``: a band width that the banded
+    kernels can actually honour (ops/pallas_banded.banded_applicable needs a
+    positive multiple of TILE_N=128; 0 pins the exact path).  Rejecting at
+    parse time replaces the old silent exact fallback for e.g. band=1000."""
+    try:
+        band = int(v)
+    except ValueError:
+        raise argparse.ArgumentTypeError(f"integer band expected, got {v!r}")
+    if band < 0 or band % 128:
+        raise argparse.ArgumentTypeError(
+            f"band must be 0 (exact) or a positive multiple of 128, "
+            f"got {band}")
+    return band
+
+
+def fast_extract_pin(band: Optional[int], num_points: int = 0):
+    """Scope DGCNN_TPU_FAST_EXTRACT for one CLI entry point (the banded
+    approximate-kNN opt-in is a trace-time env, ops/pallas_banded.py).
+
+    ``None``  (flag not given)   — leave any inherited env in effect;
+    ``0``     (--fast_extract=0) — force the EXACT path: strip an inherited
+                                   band for the call's duration;
+    ``band>0``                   — pin that band.
+    The pre-existing env value is restored on exit either way, so looping
+    over CLIs in one process cannot leak a pin."""
+    import contextlib
+    import sys as _sys
+
+    if band is None:
+        return contextlib.nullcontext()
+    if band and num_points and band >= num_points:
+        print(f"WARNING: --fast_extract={band} >= num_points={num_points}: "
+              f"banding cannot prune anything; running the exact path",
+              file=_sys.stderr)
+
+    @contextlib.contextmanager
+    def _pin():
+        old = os.environ.get("DGCNN_TPU_FAST_EXTRACT")
+        if band:
+            os.environ["DGCNN_TPU_FAST_EXTRACT"] = str(band)
+        else:
+            os.environ.pop("DGCNN_TPU_FAST_EXTRACT", None)
+        try:
+            yield
+        finally:
+            if old is None:
+                os.environ.pop("DGCNN_TPU_FAST_EXTRACT", None)
+            else:
+                os.environ["DGCNN_TPU_FAST_EXTRACT"] = old
+
+    return _pin()
 
 
 def str2bool(v) -> bool:

@@ -20,8 +20,11 @@ from dgcnn_tpu.cli.common import (
     MeterAccumulator,
     add_runtime_flags,
     apply_runtime_flags,
+    band_arg,
     build_data_parallel_call,
+    fast_extract_pin,
     init_output_dir,
+    make_tb_logger,
     pick_devices,
     str2bool,
 )
@@ -226,6 +229,7 @@ def train(args, io: IOStream):
     key = train_rng(args.seed)
 
     best_test_iou = 0.0
+    tb = make_tb_logger(args)
     for epoch in range(start_epoch, args.epochs):
         train_loader.set_epoch(epoch)
         test_loader.set_epoch(epoch)
@@ -256,6 +260,10 @@ def train(args, io: IOStream):
             % (epoch, meter.mean_loss, accuracy_score(t, p),
                balanced_accuracy_score(t, p), float(np.mean(ious)))
         )
+        if tb is not None:
+            tb.log_scalars("train", {"loss": meter.mean_loss,
+                                     "acc": accuracy_score(t, p),
+                                     "iou": float(np.mean(ious))}, epoch)
 
         if dp_epoch is not None:
             em = {k: np.asarray(v)  # one stacked readback
@@ -276,6 +284,10 @@ def train(args, io: IOStream):
             % (epoch, meter.mean_loss, accuracy_score(t, p),
                balanced_accuracy_score(t, p), float(np.mean(ious)))
         )
+        if tb is not None:
+            tb.log_scalars("test", {"loss": meter.mean_loss,
+                                    "acc": accuracy_score(t, p),
+                                    "iou": float(np.mean(ious))}, epoch)
         if np.mean(ious) >= best_test_iou:
             best_test_iou = float(np.mean(ious))
             # best-model save follows the same format flag as the periodic
@@ -287,6 +299,8 @@ def train(args, io: IOStream):
                 f"outputs/{args.exp_name}/models/transformer_{epoch}.{best_ext}",
                 state, epoch, meter.mean_loss)
         save_ckpt(ckpt_path, state, epoch, meter.mean_loss)
+    if tb is not None:
+        tb.close()
 
 
 def test(args, io: IOStream):
@@ -460,11 +474,15 @@ def build_parser(dist: bool = False) -> argparse.ArgumentParser:
                         help="with --export_model: make the artifact's "
                              "batch axis a symbolic dimension so one "
                              "artifact serves any batch size")
-    parser.add_argument("--fast_extract", type=int, default=0, metavar="BAND",
-                        help="TPU-native extension (eval forwards): "
-                             "approximate kNN candidate pruning to a "
-                             "PC1-sorted band of this width (multiple of "
-                             "128; 0 = exact).  Measured on chip at "
+    parser.add_argument("--fast_extract", type=band_arg, default=None,
+                        metavar="BAND",
+                        help="TPU-native extension (eval forwards, "
+                             "INCLUDING a training run's per-epoch "
+                             "validation passes): approximate kNN candidate "
+                             "pruning to a PC1-sorted band of this width "
+                             "(positive multiple of 128; 0 = force exact "
+                             "even if DGCNN_TPU_FAST_EXTRACT is set; unset "
+                             "= inherit the env).  Measured on chip at "
                              "N=2048/k=32: band=512 is +13%% with argmax "
                              "agreement 1.0 vs exact (tools/parity_drift.py "
                              "gate; ops/pallas_banded.py)")
@@ -486,23 +504,15 @@ def main(argv=None):
     io.cprint(str(args))
     np.random.seed(args.seed)
     # opt-in approximate eval path (ops/pallas_banded.py); trace-time env,
-    # scoped to this entry point like cli/semseg.py's wiring so looping
-    # over CLIs in one process does not pin other models' kernels (the
-    # explicit flag wins for this call; a pre-existing env is restored)
-    old_fast = os.environ.get("DGCNN_TPU_FAST_EXTRACT")
-    if args.fast_extract:
-        os.environ["DGCNN_TPU_FAST_EXTRACT"] = str(args.fast_extract)
-    try:
+    # scoped to this entry point (common.fast_extract_pin): an explicit
+    # flag — including --fast_extract=0 to force exact — wins for this
+    # call; with the flag unset an inherited env stays in effect; the
+    # pre-existing env is restored on return either way
+    with fast_extract_pin(args.fast_extract, args.num_points):
         if args.eval:
             test(args, io)
         else:
             train(args, io)
-    finally:
-        if args.fast_extract:
-            if old_fast is None:
-                os.environ.pop("DGCNN_TPU_FAST_EXTRACT", None)
-            else:
-                os.environ["DGCNN_TPU_FAST_EXTRACT"] = old_fast
 
 
 if __name__ == "__main__":

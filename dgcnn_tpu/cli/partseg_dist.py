@@ -16,12 +16,10 @@ this same script (dgcnn_tpu.parallel.distributed_init).
 """
 from __future__ import annotations
 
-import os
-
 import numpy as np
 
 from dgcnn_tpu.cli import partseg
-from dgcnn_tpu.cli.common import init_output_dir
+from dgcnn_tpu.cli.common import fast_extract_pin, init_output_dir
 from dgcnn_tpu.parallel import distributed_init
 from dgcnn_tpu.utils import IOStream, enable_compilation_cache
 
@@ -44,20 +42,11 @@ def main(argv=None):
     io.cprint(str(args))
     np.random.seed(args.seed)
     # same opt-in banded eval wiring as cli/partseg.py's main
-    old_fast = os.environ.get("DGCNN_TPU_FAST_EXTRACT")
-    if args.fast_extract:
-        os.environ["DGCNN_TPU_FAST_EXTRACT"] = str(args.fast_extract)
-    try:
+    with fast_extract_pin(args.fast_extract, args.num_points):
         if args.eval:
             partseg.test(args, io)
         else:
             partseg.train(args, io)
-    finally:
-        if args.fast_extract:
-            if old_fast is None:
-                os.environ.pop("DGCNN_TPU_FAST_EXTRACT", None)
-            else:
-                os.environ["DGCNN_TPU_FAST_EXTRACT"] = old_fast
 
 
 if __name__ == "__main__":

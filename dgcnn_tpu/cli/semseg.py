@@ -16,8 +16,11 @@ from dgcnn_tpu.cli.common import (
     MeterAccumulator,
     add_runtime_flags,
     apply_runtime_flags,
+    band_arg,
     build_data_parallel_call,
+    fast_extract_pin,
     init_output_dir,
+    make_tb_logger,
     pick_devices,
     str2bool,
 )
@@ -127,6 +130,7 @@ def train(args, io: IOStream):
     key = train_rng(args.seed)
 
     best_test_iou = 0.0
+    tb = make_tb_logger(args)
     for epoch in range(args.epochs):
         train_loader.set_epoch(epoch)
         test_loader.set_epoch(epoch)
@@ -156,6 +160,10 @@ def train(args, io: IOStream):
             % (epoch, meter.mean_loss, accuracy_score(t, p),
                balanced_accuracy_score(t, p), float(np.mean(ious)))
         )
+        if tb is not None:
+            tb.log_scalars("train", {"loss": meter.mean_loss,
+                                     "acc": accuracy_score(t, p),
+                                     "iou": float(np.mean(ious))}, epoch)
 
         meter = MeterAccumulator()
         if dp_epoch is not None:
@@ -179,12 +187,18 @@ def train(args, io: IOStream):
             % (epoch, meter.mean_loss, accuracy_score(t, p),
                balanced_accuracy_score(t, p), float(np.mean(ious)))
         )
+        if tb is not None:
+            tb.log_scalars("test", {"loss": meter.mean_loss,
+                                    "acc": accuracy_score(t, p),
+                                    "iou": float(np.mean(ious))}, epoch)
         if np.mean(ious) >= best_test_iou:
             best_test_iou = float(np.mean(ious))
             save_model(
                 f"outputs/{args.exp_name}/models/model_{args.test_area}.t7.msgpack",
                 {"params": state.params, "batch_stats": state.batch_stats},
             )
+    if tb is not None:
+        tb.close()
 
 
 def load_variables_any(path: str):
@@ -385,10 +399,15 @@ def build_parser() -> argparse.ArgumentParser:
                         help="with --export_model: make the artifact's "
                              "batch axis a symbolic dimension so one "
                              "artifact serves any batch size")
-    parser.add_argument("--fast_extract", type=int, default=0, metavar="BAND",
-                        help="TPU-native extension (eval): approximate kNN "
-                             "candidate pruning to a PC1-sorted band of this "
-                             "width (multiple of 128; 0 = exact).  Gated by "
+    parser.add_argument("--fast_extract", type=band_arg, default=None,
+                        metavar="BAND",
+                        help="TPU-native extension (eval forwards, "
+                             "INCLUDING a training run's per-epoch "
+                             "validation passes): approximate kNN candidate "
+                             "pruning to a PC1-sorted band of this width "
+                             "(positive multiple of 128; 0 = force exact "
+                             "even if DGCNN_TPU_FAST_EXTRACT is set; unset "
+                             "= inherit the env).  Gated by "
                              "tools/parity_drift.py >= 99.5%% argmax "
                              "agreement (ops/pallas_banded.py)")
     parser.add_argument("--device_pipeline", type=str2bool, default=False,
@@ -421,25 +440,19 @@ def main(argv=None):
     # process does not pin other models' kernels.
     had = "DGCNN_TPU_EXTRACT" in os.environ
     os.environ.setdefault("DGCNN_TPU_EXTRACT", "v2")
-    old_fast = os.environ.get("DGCNN_TPU_FAST_EXTRACT")
-    if args.fast_extract:
-        # opt-in approximate eval path (ops/pallas_banded.py); same
-        # trace-time-env scoping as the v2 pin above (the explicit flag
-        # wins for this call; any pre-existing env is restored on return)
-        os.environ["DGCNN_TPU_FAST_EXTRACT"] = str(args.fast_extract)
     try:
-        if not args.eval:
-            train(args, io)
-        else:
-            test(args, io)
+        # opt-in approximate eval path (ops/pallas_banded.py); same
+        # trace-time-env scoping as the v2 pin above (an explicit flag —
+        # including --fast_extract=0 to force exact — wins for this call;
+        # any pre-existing env is restored on return)
+        with fast_extract_pin(args.fast_extract, args.num_points):
+            if not args.eval:
+                train(args, io)
+            else:
+                test(args, io)
     finally:
         if not had:
             os.environ.pop("DGCNN_TPU_EXTRACT", None)
-        if args.fast_extract:
-            if old_fast is None:
-                os.environ.pop("DGCNN_TPU_FAST_EXTRACT", None)
-            else:
-                os.environ["DGCNN_TPU_FAST_EXTRACT"] = old_fast
 
 
 if __name__ == "__main__":

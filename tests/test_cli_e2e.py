@@ -36,12 +36,30 @@ def test_cls_train_and_eval_roundtrip(data_env):
         "--test_batch_size=8", "--num_points=64", "--k=4", "--emb_dims=32",
         "--use_sgd=False",
     ]
-    cls.main(argv)
+    cls.main(argv + ["--tensorboard=True"])
     model_path = "outputs/smoke_cls/models/model.t7.msgpack"
     assert os.path.exists(model_path)
     assert os.path.exists("outputs/smoke_cls/run.log")
     log = open("outputs/smoke_cls/run.log").read()
     assert "Train 0" in log and "Test 0" in log
+
+    # --tensorboard wrote TensorBoard-readable per-epoch scalar curves
+    # (train/events.TensorboardLogger over utils/tbevents.SummaryWriter)
+    import glob
+
+    from dgcnn_tpu.utils.tbevents import read_scalars
+
+    event_files = glob.glob("outputs/smoke_cls/tb/events.out.tfevents.*")
+    assert event_files
+    scalars = read_scalars(event_files[0])  # (step, tag, value) triples
+    tags = {s[1] for s in scalars}
+    assert {"train/loss", "train/acc", "test/loss", "test/acc"} <= tags
+    # the logged value matches the printed metric line
+    test_acc_logged = [s for s in scalars if s[1] == "test/acc"][-1][2]
+    import re as _re
+
+    printed = float(_re.search(r"Test 0, .*test acc: ([0-9.]+)", log)[1])
+    assert abs(test_acc_logged - printed) < 1e-5
 
     cls.main(argv + ["--eval=True", f"--model_path={model_path}",
                      "--export_model=smoke_cls.stablehlo"])
@@ -408,3 +426,53 @@ def test_fast_extract_env_scoping(data_env, monkeypatch, cli_name):
               "--fast_extract=512"])
     assert seen["band"] == "512"
     assert os.environ["DGCNN_TPU_FAST_EXTRACT"] == "1024"
+    # with the flag unset, an inherited env stays in effect for the call
+    mod.main([f"--exp_name=smoke_fast_{cli_name}", "--eval=True"])
+    assert seen["band"] == "1024"
+    # --fast_extract=0 forces the EXACT path for the call even under an
+    # inherited env (it used to be falsy = un-overridable, ADVICE r4)
+    mod.main([f"--exp_name=smoke_fast_{cli_name}", "--eval=True",
+              "--fast_extract=0"])
+    assert seen["band"] is None
+    assert os.environ["DGCNN_TPU_FAST_EXTRACT"] == "1024"
+    # bands the kernels can't honour are rejected at parse time instead of
+    # silently running exact (banded_applicable needs a multiple of 128)
+    with pytest.raises(SystemExit):
+        mod.main([f"--exp_name=smoke_fast_{cli_name}", "--eval=True",
+                  "--fast_extract=1000"])
+
+
+def test_real_data_parity_plumbing(data_env):
+    """tools/real_data_parity.py — the one-command README acceptance bridge
+    (reference README.md:86/147/285) — runs end-to-end TODAY on the
+    synthetic fixtures: trains a tiny checkpoint, then the tool converts,
+    evals, parses the metric line, and gates it.  Guarantees the tool can't
+    rot while real data is environment-blocked (zero egress)."""
+    import json
+    import subprocess
+    import sys
+
+    from dgcnn_tpu.cli import cls
+
+    cls.main(["--exp_name=smoke_rdp", "--epochs=1", "--batch_size=8",
+              "--test_batch_size=8", "--num_points=64", "--k=4",
+              "--emb_dims=32", "--use_sgd=False"])
+    ckpt = os.path.abspath("outputs/smoke_rdp/models/model.t7.msgpack")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    base = [sys.executable, os.path.join(repo, "tools", "real_data_parity.py"),
+            "--family", "cls", "--ckpt", ckpt, "--data_root", data_env,
+            "--platform", "cpu", "--batch", "8",
+            "--num_points=64", "--k=4", "--emb_dims=32"]
+
+    proc = subprocess.run(base + ["--tol", "1.0"], capture_output=True,
+                          text=True)
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert proc.returncode == 0, out
+    assert out["pass"] and 0.0 <= out["measured"]["overall_acc"] <= 1.0
+    assert out["expected"] == {"overall_acc": 0.933, "avg_class_acc": 0.909}
+
+    # a tight gate fails loudly (rc=1, pass=false) — the verdict is real
+    proc = subprocess.run(base + ["--tol", "1e-9"], capture_output=True,
+                          text=True)
+    out = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert proc.returncode == 1 and not out["pass"]
