@@ -20,3 +20,19 @@ Subpackages:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("DGCNN_TPU_JAX_PLATFORM"):
+    # Child-process platform selection: this host's axon TPU plugin IGNORES
+    # the standard JAX_PLATFORMS env var, so subprocess tools that must pin
+    # a backend (e.g. tools/real_data_parity.py --platform cpu under the
+    # CPU test suite) export this instead; the config route is the one
+    # that sticks.  No-op once jax backends are initialized.
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms",
+                           _os.environ["DGCNN_TPU_JAX_PLATFORM"])
+    except RuntimeError:
+        pass  # backends already initialized — the caller picked first
