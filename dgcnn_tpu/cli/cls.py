@@ -17,6 +17,7 @@ from dgcnn_tpu.cli.common import (
     apply_runtime_flags,
     build_data_parallel_call,
     init_output_dir,
+    make_tb_logger,
     pick_devices,
     profile_epoch,
     str2bool,
@@ -111,6 +112,7 @@ def _train_device_pipeline(args, io, state, train_step, eval_step,
 
     best_test_acc = 0.0
     tput = ThroughputMeter()
+    tb = make_tb_logger(args)
     for epoch in range(args.epochs):
         tput.start()
         with profile_epoch(args, epoch):
@@ -122,12 +124,16 @@ def _train_device_pipeline(args, io, state, train_step, eval_step,
         rate = tput.tick(steps_per_epoch * args.batch_size)
         t = np.asarray(mets["labels"]).reshape(-1)
         p = np.asarray(mets["preds"]).reshape(-1)
+        train_acc = accuracy_score(t, p)
         io.cprint(
             "Train %d, loss: %.6f, train acc: %.6f, train avg acc: %.6f, "
             "throughput: %.1f clouds/sec"
-            % (epoch, float(losses.mean()), accuracy_score(t, p),
+            % (epoch, float(losses.mean()), train_acc,
                balanced_accuracy_score(t, p), rate)
         )
+        if tb is not None:
+            tb.log_scalars("train", {"loss": float(losses.mean()),
+                                     "acc": train_acc}, epoch)
 
         em = {k: np.asarray(v) for k, v in ev_fn(ev_arrays, state).items()}
         meter = MeterAccumulator()
@@ -140,12 +146,17 @@ def _train_device_pipeline(args, io, state, train_step, eval_step,
             "Test %d, loss: %.6f, test acc: %.6f, test avg acc: %.6f"
             % (epoch, meter.mean_loss, test_acc, balanced_accuracy_score(t, p))
         )
+        if tb is not None:
+            tb.log_scalars("test", {"loss": meter.mean_loss,
+                                    "acc": test_acc}, epoch)
         if test_acc >= best_test_acc:
             best_test_acc = test_acc
             save_model(
                 f"outputs/{args.exp_name}/models/model.t7.msgpack",
                 {"params": state.params, "batch_stats": state.batch_stats},
             )
+    if tb is not None:
+        tb.close()
 
 
 def train(args, io: IOStream):
@@ -185,6 +196,7 @@ def train(args, io: IOStream):
 
     best_test_acc = 0.0
     tput = ThroughputMeter()
+    tb = make_tb_logger(args)
     for epoch in range(args.epochs):
         train_loader.set_epoch(epoch)
         test_loader.set_epoch(epoch)
@@ -199,12 +211,16 @@ def train(args, io: IOStream):
                               np.asarray(batch["mask"]))
         rate = tput.tick(meter.count)
         t, p = meter.concat()
+        train_acc = accuracy_score(t, p)
         io.cprint(
             "Train %d, loss: %.6f, train acc: %.6f, train avg acc: %.6f, "
             "throughput: %.1f clouds/sec"
-            % (epoch, meter.mean_loss, accuracy_score(t, p),
+            % (epoch, meter.mean_loss, train_acc,
                balanced_accuracy_score(t, p), rate)
         )
+        if tb is not None:
+            tb.log_scalars("train", {"loss": meter.mean_loss,
+                                     "acc": train_acc}, epoch)
 
         meter = MeterAccumulator()
         for batch in device_prefetch(iter(test_loader)):
@@ -219,12 +235,17 @@ def train(args, io: IOStream):
             "Test %d, loss: %.6f, test acc: %.6f, test avg acc: %.6f"
             % (epoch, meter.mean_loss, test_acc, balanced_accuracy_score(t, p))
         )
+        if tb is not None:
+            tb.log_scalars("test", {"loss": meter.mean_loss,
+                                    "acc": test_acc}, epoch)
         if test_acc >= best_test_acc:
             best_test_acc = test_acc
             save_model(
                 f"outputs/{args.exp_name}/models/model.t7.msgpack",
                 {"params": state.params, "batch_stats": state.batch_stats},
             )
+    if tb is not None:
+        tb.close()
 
 
 def load_variables_any(path: str, args):

@@ -381,6 +381,16 @@ class TensorboardLogger:
 
         engine.add_event_handler(event_name, handler)
 
+    def log_scalars(self, tag: str, scalars: Dict[str, float],
+                    step: int) -> None:
+        """Direct (engine-less) logging surface for the CLI train loops
+        (``--tensorboard``, cli/common.py::make_tb_logger): one call per
+        epoch phase writes ``<tag>/<name>`` curves readable by TensorBoard
+        and by utils/tbevents.read_scalars."""
+        for name, value in scalars.items():
+            self.writer.add_scalar(f"{tag}/{name}", float(value), step)
+        self.writer.flush()
+
     def close(self) -> None:
         self.writer.close()
 
