@@ -187,30 +187,57 @@ def run_config(model_key: str) -> dict:
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
         *args, train=False)
 
-    def chained(v, args, iters):
-        def body(_, carry):
-            acc, a0 = carry
-            out = model.apply(v, a0, *args[1:], train=False)
-            s = jnp.sum(out) * 1e-12
-            # feed a data dependency back so iterations can't be elided
-            return acc + s, args[0] + s
-        acc, _ = jax.lax.fori_loop(0, iters, body, (jnp.float32(0), args[0]))
-        return acc
+    def measure() -> float:
+        # a FRESH closure per measurement: jit re-traces it, so trace-time
+        # env flags (extraction variant, banded band) are re-read
+        def chained(v, args, iters):
+            def body(_, carry):
+                acc, a0 = carry
+                out = model.apply(v, a0, *args[1:], train=False)
+                s = jnp.sum(out) * 1e-12
+                # feed a data dependency back so iterations can't be elided
+                return acc + s, args[0] + s
+            acc, _ = jax.lax.fori_loop(0, iters, body,
+                                       (jnp.float32(0), args[0]))
+            return acc
 
-    run = jax.jit(chained, static_argnums=(2,))
+        run = jax.jit(chained, static_argnums=(2,))
 
-    def timed(iters: int) -> float:
-        t0 = time.perf_counter()
-        float(run(variables, args, iters))  # host readback = completion
-        return time.perf_counter() - t0
+        def timed(iters: int) -> float:
+            t0 = time.perf_counter()
+            float(run(variables, args, iters))  # host readback = completion
+            return time.perf_counter() - t0
 
-    timed(1)            # compile 1-iter variant
-    timed(ITERS)        # compile N-iter variant
-    base = min(timed(1) for _ in range(3))
-    total = min(timed(ITERS) for _ in range(3))
-    per_iter = (total - base) / (ITERS - 1)
+        timed(1)            # compile 1-iter variant
+        timed(ITERS)        # compile N-iter variant
+        base = min(timed(1) for _ in range(3))
+        total = min(timed(ITERS) for _ in range(3))
+        return BATCH * (ITERS - 1) / (total - base)
 
-    clouds_per_sec = BATCH / per_iter
+    def pin_band(band):
+        old = os.environ.get("DGCNN_TPU_FAST_EXTRACT")
+        if band is None:
+            os.environ.pop("DGCNN_TPU_FAST_EXTRACT", None)
+        else:
+            os.environ["DGCNN_TPU_FAST_EXTRACT"] = str(band)
+        return old
+
+    old_band = pin_band(None)   # the exact path, regardless of inherited env
+    try:
+        clouds_per_sec = measure()
+        banded_cps = None
+        if model_key == "semseg" and jax.default_backend() == "tpu":
+            # semseg's exact path is VPU-extraction-floor-bound (PERF.md
+            # "Measured ceilings"); the banded-1024 approximate path is
+            # promoted into this line because its drift gate rides the SAME
+            # artifact (parity_banded_semseg_b1024, 0.999996 argmax
+            # agreement on duplicate-heavy blocks) — parity_ok flags any
+            # regression in the same JSON object as the number
+            pin_band(1024)
+            banded_cps = measure()
+    finally:
+        pin_band(old_band)
+
     result = {
         "metric": f"{name} inference clouds/sec/chip "
                   f"({num_points} pts, k={k}, batch {BATCH})",
@@ -221,8 +248,18 @@ def run_config(model_key: str) -> dict:
         "denominator_clouds_per_sec": REF_GPU_CLOUDS_PER_SEC[model_key],
         "denominator_estimated": True,
     }
+    if banded_cps is not None:
+        result["metric"] += " [banded-1024 approx kNN, drift-gated]"
+        result["value"] = round(banded_cps, 1)
+        result["vs_baseline"] = round(
+            banded_cps / REF_GPU_CLOUDS_PER_SEC[model_key], 2)
+        result["value_exact"] = round(clouds_per_sec, 1)
+        result["vs_baseline_exact"] = round(
+            clouds_per_sec / REF_GPU_CLOUDS_PER_SEC[model_key], 2)
     mxu_flops, alg_flops = model_flops_per_cloud(model_key, num_points, k)
     if mxu_flops:
+        # utilization is reported for the EXACT path (the FLOP model counts
+        # the full candidate set; the banded path intentionally does less)
         achieved = clouds_per_sec * mxu_flops
         result["tflops"] = round(achieved / 1e12, 1)
         result["mfu"] = round(achieved / V5E_PEAK_BF16, 3)
@@ -251,7 +288,14 @@ def main() -> None:
                     os.path.dirname(os.path.abspath(__file__)), "tools"))
                 import gates
 
-                result.update(gates.gate_summary())
+                try:
+                    result.update(gates.gate_summary())
+                except Exception as e:  # noqa: BLE001
+                    # the gates are individually hardened (tools/gates.py)
+                    # but the headline line must survive even a summary-level
+                    # failure — r4's artifact died rc=1 on one gate child
+                    result["parity_ok"] = False
+                    result["gates_error"] = repr(e)[-300:]
             if "--parity" in sys.argv and key in ("cls", "partseg",
                                                   "semseg"):
                 # exact-vs-AMP drift gate (tools/parity_drift.py): proves
