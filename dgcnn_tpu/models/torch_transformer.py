@@ -58,6 +58,31 @@ def _use_flash(train: bool, dropout: float, qshape, kshape) -> bool:
     return not (train and dropout > 0.0) and _pallas_ok(qshape, kshape)
 
 
+# cap the live (b, h, q_chunk, nk) f32 score slab of the chunked dense
+# fallback; 512 MB keeps chip-scale exact eval (stacked B64 fusion Net:
+# 4.3 GB full scores) to 16 sequential chunks while leaving tiny CPU-test
+# shapes on the single-pass (nc == 1) path, bit-identical to the
+# pre-chunking code.
+_DENSE_CHUNK_BYTES = 512 * 1024 * 1024
+
+
+def _dense_q_chunks(qshape, kshape) -> int:
+    """Number of query chunks for the dense XLA fallback: smallest power
+    of two dividing nq whose per-chunk f32 score slab fits the cap (1 =
+    no chunking)."""
+    b, h, nq, _ = qshape
+    nk = kshape[2]
+    if not all(isinstance(x, int) for x in (b, h, nq, nk)):
+        # shape-polymorphic export (dgcnn_tpu/export.py): the byte bound
+        # is undecidable on symbolic dims — keep the single-pass path
+        return 1
+    full = 4 * b * h * nq * nk
+    nc = 1
+    while full // nc > _DENSE_CHUNK_BYTES and nq % (nc * 2) == 0:
+        nc *= 2
+    return nc
+
+
 def _use_fused(train: bool, dropout: float, qshape, kshape) -> bool:
     """Serve softmax attention with the fused whole-KV-resident kernel
     (ops/pallas_attention.py): the (B, h, N, N) prob/mask tensors never
@@ -181,14 +206,43 @@ class TorchMultiheadAttention(nn.Module):
             out = flash_attention(q, k, v, sm_scale=1.0 / float(d) ** 0.5,
                                   block_sizes=bs)
         else:
-            scores = jnp.einsum(
-                "bhqd,bhkd->bhqk", q, k,
-                preferred_element_type=jnp.float32) / jnp.sqrt(
-                jnp.asarray(d, jnp.float32)
-            )
-            attn = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-            attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
-            out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+            # EXACT/XLA dense fallback (reference nn.MultiheadAttention
+            # semantics op for op, reference models/model_partseg.py:190).
+            # At chip scale the (b, h, nq, nk) f32 score/prob tensors are
+            # huge — (128, 2, 2048, 2048) = 4.3 GB EACH at the fusion
+            # Net's stacked batch-64 eval — and OOM the 16 GB HBM (the
+            # r5 exact-eval drift child died RESOURCE_EXHAUSTED here), so
+            # the dropout-free case streams query chunks through a
+            # lax.map: per-row math is identical (softmax still reduces
+            # over the FULL key axis) and jax.checkpoint keeps the
+            # backward from stacking per-chunk probs as scan residuals.
+            # With live prob-dropout the unchunked path is kept: one
+            # whole-tensor mask draw, reference dropout semantics.
+            nc = _dense_q_chunks(q.shape, k.shape)
+            if nc == 1 or (train and self.dropout > 0.0):
+                scores = jnp.einsum(
+                    "bhqd,bhkd->bhqk", q, k,
+                    preferred_element_type=jnp.float32) / jnp.sqrt(
+                    jnp.asarray(d, jnp.float32)
+                )
+                attn = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+                attn = nn.Dropout(self.dropout, deterministic=not train)(attn)
+                out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+            else:
+                scale = jnp.sqrt(jnp.asarray(d, jnp.float32))
+
+                @jax.checkpoint
+                def _one_chunk(qi):
+                    s = jnp.einsum(
+                        "bhqd,bhkd->bhqk", qi, k,
+                        preferred_element_type=jnp.float32) / scale
+                    a = jax.nn.softmax(s, axis=-1).astype(qi.dtype)
+                    return jnp.einsum("bhqk,bhkd->bhqd", a, v)
+
+                qc = q.reshape(b, h, nc, nq // nc, d).transpose(
+                    2, 0, 1, 3, 4)
+                out = jax.lax.map(_one_chunk, qc)
+                out = out.transpose(1, 2, 0, 3, 4).reshape(b, h, nq, d)
         out = out.transpose(0, 2, 1, 3).reshape(b, nq, e)
         return nn.Dense(e, name="out_proj", dtype=self.dtype)(out)
 

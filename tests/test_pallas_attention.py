@@ -124,3 +124,33 @@ def test_dispatch_gating(monkeypatch):
     assert not _use_fused(True, 0.0, qs, ks)
     monkeypatch.setenv("DGCNN_TPU_PALLAS_EXACT", "1")
     assert not _use_fused(True, 0.5, qs, ks)
+
+
+def test_dense_fallback_chunking(monkeypatch):
+    """The exact/XLA dense fallback streams query chunks when the score
+    slab would be huge (chip-scale exact eval OOM'd 16 GB HBM otherwise):
+    chunked fwd and grads must match the single-pass dense path to f32
+    roundoff, and tiny shapes must stay on the unchunked (nc == 1) path."""
+    from dgcnn_tpu.models import torch_transformer as tt
+
+    assert tt._dense_q_chunks((2, 2, 64, 16), (2, 2, 64, 16)) == 1
+    # the r5 OOM shape: stacked batch-64 fusion Net eval -> 16+ chunks
+    assert tt._dense_q_chunks((128, 2, 2048, 256), (128, 2, 2048, 256)) >= 8
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 64, 32).astype(np.float32))
+    mha = tt.TorchMultiheadAttention(32, 2, dropout=0.0)
+    vs = mha.init(jax.random.PRNGKey(0), x, x, x, train=False)
+
+    def loss(p):
+        return jnp.sum(mha.apply({"params": p}, x, x, x, train=False) ** 2)
+
+    ref = mha.apply(vs, x, x, x, train=False)
+    gref = jax.grad(loss)(vs["params"])
+    monkeypatch.setattr(tt, "_DENSE_CHUNK_BYTES", 1024)
+    assert tt._dense_q_chunks((2, 2, 64, 16), (2, 2, 64, 16)) > 1
+    out = mha.apply(vs, x, x, x, train=False)
+    g = jax.grad(loss)(vs["params"])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    for a, b in zip(jax.tree.leaves(g), jax.tree.leaves(gref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
