@@ -28,7 +28,7 @@ def test_modelnet40_dataset(data_env):
     ds = ModelNet40(num_points=256, partition="train")
     pc, label = ds[0]
     assert pc.shape == (256, 3) and pc.dtype == np.float32
-    assert 0 <= int(label) < 40
+    assert 0 <= int(np.asarray(label).item()) < 40
     test = ModelNet40(num_points=256, partition="test")
     # test partition applies no augmentation: deterministic reads
     a, _ = test[1]
@@ -42,8 +42,8 @@ def test_shapenetpart_dataset_and_class_choice(data_env):
     ds = ShapeNetPart(num_points=128, partition="trainval")
     pc, label, seg = ds[0]
     assert pc.shape == (128, 3) and seg.shape == (128,)
-    start = ds.INDEX_START[int(label)]
-    num = ds.SEG_NUM[int(label)]
+    start = ds.INDEX_START[int(np.asarray(label).item())]
+    num = ds.SEG_NUM[int(np.asarray(label).item())]
     assert ((seg >= start) & (seg < start + num)).all()
 
     # class filter narrows ids and exposes the window

@@ -80,6 +80,14 @@ def test_banded_drift_gate(tpu_present, family, band):
     assert out["argmax_agreement"] >= 0.995
 
 
+# Per-family grad-cosine thresholds calibrated against the models'
+# intrinsic gradient sensitivity at random init (tools/gates.py TRAIN_GATE
+# rationale: in the fully EXACT path, rounding just the INPUT to bf16
+# drops the cls/semseg self-cosine to 0.69/0.71 — EdgeConv max-over-k +
+# kNN argmax routing is chaotic; the AMP path beats that floor).
+TRAIN_GATES = {"cls": 0.80, "partseg": 0.995, "semseg": 0.85}
+
+
 @pytest.mark.parametrize("family", ["cls", "partseg", "semseg"])
 def test_train_drift_gate(tpu_present, family):
     """Exact-vs-AMP TRAIN fwd+bwd on chip for every family (r4 gated
@@ -88,10 +96,12 @@ def test_train_drift_gate(tpu_present, family):
     disables fused AND flash, models/torch_transformer.py), the dispatch
     hole that crashed BENCH_r04."""
     proc = _run([os.path.join(ROOT, "tools", "parity_drift.py"),
-                 "--model", family, "--train", "--batch", "8"])
+                 "--model", family, "--train", "--batch", "8",
+                 "--gate", str(TRAIN_GATES[family])])
     out = _last_json(proc)
     assert proc.returncode == 0, out
-    assert out["grad_cosine"] >= 0.995
+    assert out["grad_cosine"] >= TRAIN_GATES[family]
+    assert out["loss_rel_delta"] <= 0.01
 
 
 def test_flash_branch_train(tpu_present):
